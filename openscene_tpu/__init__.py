@@ -1,0 +1,21 @@
+"""openscene_tpu — a TPU-native open-vocabulary 3D scene understanding framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of OpenScene
+(pengsongyou/openscene, CVPR 2023): zero-shot open-vocabulary 3D semantic
+segmentation via
+
+  1. multi-view fusion of CLIP-aligned 2D features onto 3D points
+     (:mod:`openscene_tpu.fusion`),
+  2. 3D distillation of those features into a sparse-conv UNet
+     (:mod:`openscene_tpu.runtime.distill`), and
+  3. zero-shot evaluation against CLIP text embeddings
+     (:mod:`openscene_tpu.runtime.evaluate`).
+
+The sparse 3D convolution engine (the reference's MinkowskiEngine C++/CUDA
+dependency) is replaced by a TPU-first design: host-built static-shape
+"geometry plans" (coordinate hierarchies + per-offset gather indices, built by
+a C++ hash-map builder with a NumPy fallback) consumed by scatter-free
+gather-matmul XLA/Pallas compute on device (:mod:`openscene_tpu.sparse`).
+"""
+
+__version__ = "0.1.0"
