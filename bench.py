@@ -1,0 +1,109 @@
+"""Benchmark: distillation training throughput (voxels/sec/chip).
+
+Measures the full jitted train step (forward + backward + Adam) of the
+flagship MinkUNet18A distill model on a realistic batch — 8 synthetic
+ScanNet-like scenes voxelized at 2cm (~"batch_size: 8" in
+config/scannet/ours_openseg.yaml of the reference) — on one TPU chip.
+
+Baseline: the reference's MinkowskiEngine-CUDA distill step. The reference
+repo publishes no numbers (BASELINE.md); we anchor on the commonly reported
+MinkUNet18A ScanNet train-step envelope of ~0.4 s/iter for an 8-scene x
+~100k-voxel batch on a V100-class GPU => ~2.0M voxels/s. vs_baseline is the
+ratio to that 2.0M voxels/s estimate (>1.0 = faster than the CUDA reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing note: on the tunneled TPU backend block_until_ready is a no-op, so we
+time N dispatched steps ending with a host transfer of the last loss, and
+subtract the measured round-trip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_VOXELS_PER_SEC = 2.0e6  # documented estimate, see module docstring
+
+
+def build_batch(n_scenes=8, dim=768, voxel=0.02, density=4000.0):
+    from openscene_tpu.data.loaders import SceneSample, align_fused_features
+    from openscene_tpu.data.synthetic import make_fused_features, make_scene
+    from openscene_tpu.data.voxelizer import Voxelizer
+    from openscene_tpu.data.batch import assemble_distill_batch
+
+    rng = np.random.default_rng(0)
+    samples = []
+    for s in range(n_scenes):
+        coords, colors, labels = make_scene(s, density=density)
+        feat, mask_full = make_fused_features(labels, 20, dim, s)
+        vox = Voxelizer(voxel_size=voxel, use_augmentation=False, rng=rng)
+        locs, feats, labs, _, vox_ind = vox.voxelize(
+            coords, (colors + 1) * 127.5, labels, return_ind=True)
+        fmask, frows = align_fused_features(mask_full, vox_ind)
+        samples.append(SceneSample(
+            coords=locs.astype(np.int32),
+            feats=np.ones((len(locs), 3), dtype=np.float32),
+            labels=labs.astype(np.int64), inds_reconstruct=None,
+            feat_3d=feat[frows], feat_mask=fmask))
+    return assemble_distill_batch(samples, dim, rng=rng, shift=False)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from openscene_tpu.config import Config
+    from openscene_tpu.models import init_unet
+    from openscene_tpu.runtime.distill import make_optimizer, make_train_step
+
+    cfg = Config(arch_3d="MinkUNet18A", loss_type="cosine")
+    t0 = time.time()
+    batch = build_batch()
+    n_vox = batch.num_voxels
+    host_s = time.time() - t0
+    # keep the wide CLIP-dim target in bf16 on device (HBM + bandwidth)
+    batch = batch._replace(feat_3d=jnp.asarray(batch.feat_3d, jnp.bfloat16))
+
+    params, state = init_unet(jax.random.PRNGKey(0), 3, 768,
+                              arch="MinkUNet18A")
+    opt, _ = make_optimizer(cfg, max_iter=10000)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+
+    # warmup/compile
+    params, state, opt_state, loss = step(params, state, opt_state, batch)
+    _ = float(loss)
+
+    # RTT of a sync
+    probe = jax.jit(lambda a: a * 1.0)
+    small = jnp.ones((8, 8))
+    _ = float(np.asarray(probe(small)).sum())
+    t = time.time()
+    for _ in range(5):
+        _ = float(np.asarray(probe(small)).sum())
+    rtt = (time.time() - t) / 5
+
+    n_iters = 10
+    t = time.time()
+    for _ in range(n_iters):
+        params, state, opt_state, loss = step(params, state, opt_state, batch)
+    _ = float(loss)  # host sync on the final loss
+    wall = time.time() - t - rtt
+    step_s = wall / n_iters
+
+    vox_per_s = n_vox / step_s
+    print(json.dumps({
+        "metric": "distill_train_voxels_per_sec_per_chip",
+        "value": round(vox_per_s, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vox_per_s / BASELINE_VOXELS_PER_SEC, 3),
+    }))
+    # secondary diagnostics on stderr-like line (driver reads line 1 JSON)
+    import sys
+    print(f"# batch: {n_vox} voxels in 8 scenes; step {step_s*1000:.1f}ms; "
+          f"host batch-assembly {host_s:.1f}s; loss {float(loss):.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

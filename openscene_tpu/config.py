@@ -95,6 +95,8 @@ class Config:
     min_bucket: int = 4096  # smallest voxel-capacity bucket
     use_native_builder: bool = True  # C++ kernel-map builder (ctypes)
     text_embedding_cache: str = "saved_text_embeddings"
+    embedding_file: str = ""  # explicit text-embedding file (.npy/.npz/.pt)
+    allow_pseudo_text: bool = False  # hash-seeded pseudo embeddings (tests)
 
     def copy(self, **updates: Any) -> "Config":
         return dataclasses.replace(self, **updates)

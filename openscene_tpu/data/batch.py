@@ -1,0 +1,165 @@
+"""Batch assembly: scenes -> static-shape device-ready buffers + geometry.
+
+This is the collation layer (reference ``collation_fn[_eval_all]``,
+dataset/feature_loader.py:191-233) redesigned for TPU:
+
+* scenes are concatenated with a batch column, then **spatially lex-sorted**
+  (batch, x, y, z) so every conv gather has monotonic, local indices — the
+  property the Pallas windowed-gather kernel exploits;
+* everything is padded to geometric capacity buckets (static shapes);
+* fused features are scattered into a (cap0, D) buffer at their voxel rows so
+  the distill loss is a masked elementwise reduction;
+* for eval, per-point reconstruction indices are remapped through the sort
+  permutation and padded to their own bucket.
+
+The train-time per-batch random global coordinate shift
+(``coords[:,1:4] += rand(3)*100``, run/distill.py:315) is applied here.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..sparse.geometry import GeometryCaps, _bucket, build_unet_geometry
+from ..sparse.types import UNetGeometry
+from .loaders import SceneSample
+
+
+class DistillBatch(NamedTuple):
+    geo: UNetGeometry
+    feats: np.ndarray      # (cap0, 3) float32 input features
+    feat_3d: np.ndarray    # (cap0, D) float32 fused target features
+    mask: np.ndarray       # (cap0,) float32 1.0 where a fused target exists
+    labels: np.ndarray     # (cap0,) int32 voxel labels (for debug/val viz)
+    num_voxels: int
+
+
+class EvalBatch(NamedTuple):
+    geo: UNetGeometry
+    feats: np.ndarray       # (cap0, 3)
+    feat_3d: np.ndarray     # (cap0, D) fused features at voxels
+    mask: np.ndarray        # (cap0,) voxel has fused feature
+    labels: np.ndarray      # (ocap,) ORIGINAL per-point labels (255-padded)
+    inds_reconstruct: np.ndarray  # (ocap,) voxel row per original point
+    num_points: int
+    num_voxels: int
+
+
+class SegBatch(NamedTuple):
+    """Supervised segmentation batch (train_mink path)."""
+    geo: UNetGeometry
+    feats: np.ndarray
+    labels: np.ndarray      # (cap0,) int32, 255 at padding
+    num_voxels: int
+    inds_reconstruct: Optional[np.ndarray] = None
+    point_labels: Optional[np.ndarray] = None
+    num_points: int = 0
+
+
+def _concat_sort(samples: Sequence[SceneSample], shift: Optional[np.ndarray]):
+    """Concat scenes with batch ids, apply global shift, lex-sort spatially.
+
+    Returns (sorted coords (N,4), perm, inv_perm, scene voxel offsets)."""
+    coords_list = []
+    offsets = [0]
+    for b, s in enumerate(samples):
+        c = np.concatenate(
+            [np.full((len(s.coords), 1), b, dtype=np.int64),
+             s.coords.astype(np.int64)], axis=1)
+        coords_list.append(c)
+        offsets.append(offsets[-1] + len(c))
+    coords = np.concatenate(coords_list)
+    if shift is not None:
+        coords[:, 1:] += shift.astype(np.int64)
+    perm = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1], coords[:, 0]))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return coords[perm], perm, inv, np.asarray(offsets)
+
+
+def assemble_distill_batch(samples: Sequence[SceneSample], dim: int,
+                           caps: Optional[GeometryCaps] = None,
+                           rng: Optional[np.random.Generator] = None,
+                           shift: bool = True) -> DistillBatch:
+    rng = rng if rng is not None else np.random.default_rng()
+    sh = np.floor(rng.random(3) * 100).astype(np.int64) if shift else None
+    coords, perm, inv, offs = _concat_sort(samples, sh)
+    n = len(coords)
+    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    cap0 = geo.levels[0].cap
+
+    feats = np.zeros((cap0, 3), dtype=np.float32)
+    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    mask = np.zeros(cap0, dtype=np.float32)
+    labels = np.full(cap0, 255, dtype=np.int32)
+    feats[:n] = np.concatenate([s.feats for s in samples])[perm]
+    labels[:n] = np.concatenate([s.labels for s in samples])[perm]
+    for b, s in enumerate(samples):
+        rows = inv[offs[b] + np.flatnonzero(s.feat_mask)]
+        feat_3d[rows] = s.feat_3d.astype(np.float32)
+        mask[rows] = 1.0
+    return DistillBatch(geo=geo, feats=feats, feat_3d=feat_3d, mask=mask,
+                        labels=labels, num_voxels=n)
+
+
+def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,
+                        caps: Optional[GeometryCaps] = None,
+                        point_cap: Optional[int] = None) -> EvalBatch:
+    coords, perm, inv, offs = _concat_sort(samples, None)
+    n = len(coords)
+    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    cap0 = geo.levels[0].cap
+
+    feats = np.zeros((cap0, 3), dtype=np.float32)
+    feats[:n] = np.concatenate([s.feats for s in samples])[perm]
+    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    mask = np.zeros(cap0, dtype=np.float32)
+    if samples[0].feat_3d is not None:
+        feat_3d[:n] = np.concatenate(
+            [s.feat_3d.astype(np.float32) for s in samples])[perm]
+        mask[:n] = np.concatenate([s.feat_mask for s in samples])[perm]
+
+    pts = np.concatenate([s.labels for s in samples])
+    n_pts = len(pts)
+    ocap = point_cap or _bucket(n_pts)
+    labels = np.full(ocap, 255, dtype=np.int32)
+    labels[:n_pts] = pts
+    inds = np.full(ocap, cap0 - 1, dtype=np.int32)  # padding -> null voxel
+    inds[:n_pts] = np.concatenate(
+        [inv[offs[b] + s.inds_reconstruct] for b, s in enumerate(samples)])
+    return EvalBatch(geo=geo, feats=feats, feat_3d=feat_3d, mask=mask,
+                     labels=labels, inds_reconstruct=inds, num_points=n_pts,
+                     num_voxels=n)
+
+
+def assemble_seg_batch(samples: Sequence[SceneSample],
+                       caps: Optional[GeometryCaps] = None,
+                       rng: Optional[np.random.Generator] = None,
+                       shift: bool = False, eval_all: bool = False,
+                       point_cap: Optional[int] = None) -> SegBatch:
+    rng = rng if rng is not None else np.random.default_rng()
+    sh = np.floor(rng.random(3) * 100).astype(np.int64) if shift else None
+    coords, perm, inv, offs = _concat_sort(samples, sh)
+    n = len(coords)
+    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    cap0 = geo.levels[0].cap
+    feats = np.zeros((cap0, 3), dtype=np.float32)
+    feats[:n] = np.concatenate([s.feats for s in samples])[perm]
+    labels = np.full(cap0, 255, dtype=np.int32)
+    if not eval_all:
+        labels[:n] = np.concatenate([s.labels for s in samples])[perm]
+        return SegBatch(geo=geo, feats=feats, labels=labels, num_voxels=n)
+    vox_labels = np.full(cap0, 255, dtype=np.int32)
+    pts = np.concatenate([s.labels for s in samples])
+    n_pts = len(pts)
+    ocap = point_cap or _bucket(n_pts)
+    plabels = np.full(ocap, 255, dtype=np.int32)
+    plabels[:n_pts] = pts
+    inds = np.full(ocap, cap0 - 1, dtype=np.int32)
+    inds[:n_pts] = np.concatenate(
+        [inv[offs[b] + s.inds_reconstruct] for b, s in enumerate(samples)])
+    return SegBatch(geo=geo, feats=feats, labels=vox_labels, num_voxels=n,
+                    inds_reconstruct=inds, point_labels=plabels,
+                    num_points=n_pts)

@@ -1,0 +1,41 @@
+"""Multi-device batch assembly: one padded scene-batch per device, stacked on
+a leading axis and sharded over the mesh's ``data`` axis.
+
+All per-device batches must share identical capacities (one compiled program);
+we build each device's batch, take the max bucket per level, and rebuild with
+fixed caps.  Production training would calibrate a fixed schedule once per
+dataset instead of the rebuild.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..sparse.geometry import GeometryCaps
+from .batch import DistillBatch, assemble_distill_batch
+from .loaders import SceneSample
+
+
+def stack_batches(batches: Sequence):
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def assemble_sharded_distill_batches(
+        per_device_samples: Sequence[Sequence[SceneSample]], dim: int,
+        rng: Optional[np.random.Generator] = None,
+        caps: Optional[GeometryCaps] = None):
+    """-> stacked DistillBatch with leading device axis."""
+    rng = rng if rng is not None else np.random.default_rng()
+    if caps is None:
+        trial = [assemble_distill_batch(s, dim, rng=np.random.default_rng(0),
+                                        shift=False)
+                 for s in per_device_samples]
+        fixed = tuple(
+            max(t.geo.levels[l].cap for t in trial) for l in range(5))
+        caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
+    batches = [assemble_distill_batch(s, dim, caps=caps, rng=rng)
+               for s in per_device_samples]
+    return stack_batches(batches), caps

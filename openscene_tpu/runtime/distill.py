@@ -1,0 +1,299 @@
+"""3D distillation training: regress fused CLIP features from geometry.
+
+The TPU re-build of ``run/distill.py``: a MinkUNet18A consumes voxelized
+point clouds (constant-1 input features by default) and regresses the fused
+2D CLIP features with a cosine (or L1) loss on the voxels that have targets.
+
+Parity details carried over:
+* Adam with a poly LR schedule times 10 — the reference's ``index_split=0``
+  puts every param group on the 10x branch (run/distill.py:141-142,344-347),
+  so the effective LR is ``10 * base_lr * (1 - it/max_it)^power``;
+* per-batch random global coordinate shift (run/distill.py:315), applied in
+  batch assembly;
+* val-every-epoch mIoU against CLIP text embeddings gates the best
+  checkpoint (run/distill.py:219-242).
+
+TPU-native: the train step is one jitted program; under a multi-device mesh
+the same step runs under ``shard_map`` over the ``data`` axis with gradient
+and BN-statistic ``pmean`` (replacing DDP/NCCL).
+
+Run: ``python -m openscene_tpu.runtime.distill --config <yaml> [key value]*``
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+from os.path import isfile, join
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import metrics
+from ..config import Config, dataset_name_from_root, load_config
+from ..data.batch import DistillBatch, assemble_distill_batch, assemble_seg_batch
+from ..data.loaders import FusedFeatureLoader, Point3DLoader
+from ..labels import labelset_and_palette
+from ..models import apply_unet, init_unet
+from ..models.disnet import output_dim
+from ..sparse.ops import valid_mask
+from ..text import extract_text_features
+from ..utils.train_utils import (AverageMeter, ScalarWriter, get_logger,
+                                 load_checkpoint, poly_learning_rate,
+                                 save_checkpoint)
+
+log = get_logger()
+
+
+def cosine_distill_loss(out, target, mask, eps: float = 1e-8):
+    """mean over masked voxels of (1 - cos(out, target))
+    (run/distill.py:324-326; torch.nn.CosineSimilarity eps semantics).
+
+    sqrt is guarded: padded rows are exactly zero and d(sqrt)(0) is NaN,
+    which would leak through the mask (0 * nan = nan)."""
+    dot = jnp.sum(out * target, axis=-1)
+    sq_o = jnp.sum(out * out, axis=-1)
+    sq_t = jnp.sum(target * target, axis=-1)
+    norm_o = jnp.sqrt(jnp.where(sq_o > 0, sq_o, 1.0))
+    norm_t = jnp.sqrt(jnp.where(sq_t > 0, sq_t, 1.0))
+    cos = dot / jnp.maximum(norm_o * norm_t, eps)
+    return jnp.sum((1.0 - cos) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def l1_distill_loss(out, target, mask):
+    diff = jnp.abs(out - target) * mask[:, None]
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * out.shape[-1], 1.0)
+
+
+def make_optimizer(cfg: Config, max_iter: int):
+    def schedule(step):
+        frac = 1.0 - step / max_iter
+        return cfg.base_lr * cfg.lr_multiplier * jnp.maximum(frac, 0.0) ** cfg.power
+    return optax.adam(schedule), schedule
+
+
+def make_train_step(cfg: Config, opt, mesh=None):
+    arch = cfg.arch_3d
+    loss_kind = cfg.loss_type
+    cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def step_core(params, state, opt_state, batch: DistillBatch):
+        def loss_fn(p):
+            x = batch.feats.astype(cdtype)
+            out, ns = apply_unet(p, state, x, batch.geo, arch=arch, train=True)
+            if loss_kind == "cosine":
+                l = cosine_distill_loss(out, batch.feat_3d, batch.mask)
+            elif loss_kind == "l1":
+                l = l1_distill_loss(out, batch.feat_3d, batch.mask)
+            else:
+                raise NotImplementedError(loss_kind)
+            return l, ns
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            new_state = jax.lax.pmean(new_state, "data")
+            loss = jax.lax.pmean(loss, "data")
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step_core, donate_argnums=(0, 1, 2))
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(params, state, opt_state, batches):
+        def inner(params, state, opt_state, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            return step_core(params, state, opt_state, batch)
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,  # scan carries inside the convs start unvarying
+        )(params, state, opt_state, batches)
+
+    return jax.jit(sharded, donate_argnums=(0, 1, 2))
+
+
+def make_val_step(cfg: Config):
+    """Per-batch validation: point-level logits vs text + IoU histograms
+    (reference validate(), run/distill.py:403-447)."""
+    arch = cfg.arch_3d
+    cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def step(params, state, text, batch):
+        x = batch.feats.astype(cdtype)
+        out, _ = apply_unet(params, state, x, batch.geo, arch=arch,
+                            train=False)
+        logits_v = out @ jnp.asarray(text).T.astype(jnp.float32)
+        logits = jnp.take(logits_v, batch.inds_reconstruct, axis=0)
+        labels = batch.point_labels
+        pred = jnp.argmax(logits, axis=-1)
+        # cross-entropy with ignore 255 (over valid points only)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = labels != 255
+        safe = jnp.where(valid, labels, 0)
+        ce = -jnp.take_along_axis(logp, safe[:, None].astype(jnp.int32),
+                                  axis=1)[:, 0]
+        loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        inter, union, tgt = metrics.intersection_and_union(
+            pred, labels, cfg.classes, cfg.ignore_label)
+        return loss, inter, union, tgt
+
+    return step
+
+
+class DistillTrainer:
+    def __init__(self, cfg: Config, allow_pseudo_text: bool = False):
+        self.cfg = cfg
+        self.dim = output_dim(cfg.feature_2d_extractor)
+        key = jax.random.PRNGKey(cfg.manual_seed)
+        self.params, self.state = init_unet(key, 3, self.dim, arch=cfg.arch_3d)
+
+        self.train_data = FusedFeatureLoader(
+            datapath_prefix=cfg.data_root,
+            datapath_prefix_feat=cfg.data_root_2d_fused_feature,
+            voxel_size=cfg.voxel_size, split="train", aug=cfg.aug,
+            memcache=cfg.use_shm, loop=cfg.loop,
+            input_color=cfg.input_color, seed=cfg.manual_seed)
+        self.batches_per_epoch = max(
+            len(self.train_data) // cfg.batch_size, 1)
+        max_iter = cfg.epochs * self.batches_per_epoch
+        self.opt, self.schedule = make_optimizer(cfg, max_iter)
+        self.opt_state = self.opt.init(self.params)
+        self.step_fn = make_train_step(cfg, self.opt)
+        self.val_step = make_val_step(cfg)
+        self.rng = np.random.default_rng(cfg.manual_seed)
+        self.start_epoch = cfg.start_epoch
+        self.best_iou = 0.0
+        self.global_step = 0
+
+        labelset_name = dataset_name_from_root(cfg.data_root)
+        labels, _, _ = labelset_and_palette(labelset_name)
+        self.text = extract_text_features(
+            labels, cfg.feature_2d_extractor, cfg.data_root, cfg.prompt_eng,
+            cfg.text_embedding_cache, embedding_file=cfg.embedding_file,
+            allow_pseudo=allow_pseudo_text or cfg.allow_pseudo_text,
+            dataset_name=labelset_name)
+        if cfg.evaluate:
+            self.val_data = Point3DLoader(
+                datapath_prefix=cfg.data_root, voxel_size=cfg.voxel_size,
+                split="val", aug=False, memcache=cfg.use_shm, eval_all=True,
+                input_color=cfg.input_color, seed=cfg.manual_seed + 1)
+        if cfg.resume and isfile(cfg.resume):
+            payload = load_checkpoint(cfg.resume, {
+                "params": self.params, "state": self.state,
+                "opt_state": self.opt_state})
+            self.params = payload["params"]
+            self.state = payload["state"]
+            self.opt_state = payload["opt_state"]
+            self.start_epoch = int(payload.get("epoch", 0))
+            self.best_iou = float(payload.get("best_iou", 0.0))
+            self.global_step = self.start_epoch * self.batches_per_epoch
+            log.info("resumed from %s (epoch %d)", cfg.resume, self.start_epoch)
+
+    def _epoch_batches(self):
+        order = self.rng.permutation(len(self.train_data))
+        bs = self.cfg.batch_size
+        for i in range(self.batches_per_epoch):
+            idxs = order[i * bs:(i + 1) * bs]
+            samples = [self.train_data.get(j) for j in idxs]
+            yield assemble_distill_batch(samples, self.dim, rng=self.rng)
+
+    def train_epoch(self, epoch: int, writer: Optional[ScalarWriter] = None):
+        loss_meter = AverageMeter()
+        data_meter = AverageMeter()
+        batch_meter = AverageMeter()
+        end = time.time()
+        for i, batch in enumerate(self._epoch_batches()):
+            data_meter.update(time.time() - end)
+            self.params, self.state, self.opt_state, loss = self.step_fn(
+                self.params, self.state, self.opt_state, batch)
+            self.global_step += 1
+            loss = float(loss)
+            loss_meter.update(loss, self.cfg.batch_size)
+            batch_meter.update(time.time() - end)
+            end = time.time()
+            if (i + 1) % self.cfg.print_freq == 0:
+                lr = float(self.schedule(self.global_step))
+                log.info(
+                    "Epoch: [%d/%d][%d/%d] Data %.3f (%.3f) Batch %.3f "
+                    "(%.3f) Loss %.4f LR %.2e", epoch + 1, self.cfg.epochs,
+                    i + 1, self.batches_per_epoch, data_meter.val,
+                    data_meter.avg, batch_meter.val, batch_meter.avg,
+                    loss_meter.val, lr)
+            if writer:
+                writer.add_scalar("loss_train_batch", loss, self.global_step)
+        return loss_meter.avg
+
+    def validate(self) -> Tuple[float, float, float, float]:
+        loss_meter = AverageMeter()
+        inter = np.zeros(self.cfg.classes)
+        union = np.zeros(self.cfg.classes)
+        tgt = np.zeros(self.cfg.classes)
+        for i in range(len(self.val_data)):
+            sample = self.val_data.get(i)
+            batch = assemble_seg_batch([sample], eval_all=True)
+            l, bi, bu, bt = self.val_step(self.params, self.state, self.text,
+                                          batch)
+            loss_meter.update(float(l))
+            inter += np.asarray(bi)
+            union += np.asarray(bu)
+            tgt += np.asarray(bt)
+        miou, macc, allacc = metrics.miou_from_histograms(inter, union, tgt)
+        log.info("Val result: mIoU/mAcc/allAcc %.4f/%.4f/%.4f", miou, macc,
+                 allacc)
+        return loss_meter.avg, miou, macc, allacc
+
+    def fit(self):
+        cfg = self.cfg
+        writer = ScalarWriter(cfg.save_path)
+        for epoch in range(self.start_epoch, cfg.epochs):
+            loss_train = self.train_epoch(epoch, writer)
+            epoch_log = epoch + 1
+            writer.add_scalar("loss_train", loss_train, epoch_log)
+            is_best = False
+            if cfg.evaluate and epoch_log % cfg.eval_freq == 0:
+                loss_val, miou, macc, allacc = self.validate()
+                for tag, v in (("loss_val", loss_val), ("mIoU_val", miou),
+                               ("mAcc_val", macc), ("allAcc_val", allacc)):
+                    writer.add_scalar(tag, v, epoch_log)
+                is_best = miou > self.best_iou
+                self.best_iou = max(self.best_iou, miou)
+            if epoch_log % cfg.save_freq == 0:
+                save_checkpoint({
+                    "epoch": epoch_log,
+                    "params": self.params,
+                    "state": self.state,
+                    "opt_state": self.opt_state,
+                    "best_iou": self.best_iou,
+                }, is_best, join(cfg.save_path, "model"))
+        log.info("==>Training done!\nBest Iou: %.3f", self.best_iou)
+        return self.best_iou
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg_path, rest = None, []
+    it = iter(argv)
+    for a in it:
+        if a == "--config" or a.startswith("--config="):
+            cfg_path = a.split("=", 1)[1] if "=" in a else next(it)
+        else:
+            rest.append(a)
+    cfg = load_config(cfg_path, tuple(rest))
+    os.makedirs(join(cfg.save_path, "model"), exist_ok=True)
+    trainer = DistillTrainer(cfg)
+    return trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Zero-shot open-vocabulary evaluation (fusion / distill / ensemble).
+
+Re-implements the reference protocol (``run/evaluate.py:224-425``) on the TPU
+engine:
+
+* per-point features (fused 2D, distilled 3D, or a confidence ensemble) are
+  matched to CLIP text embeddings by dot product; argmax = predicted class;
+* the ensemble keeps, per point, whichever feature's best normalized text
+  logit is higher, then classifies with the *unnormalized* chosen feature
+  (run/evaluate.py:302-324);
+* ``mark_no_feature_to_unknown``: points with no fused feature predict the
+  NO_FEATURE sentinel 256 in the final metric (fusion mode only);
+* ``test_repeats``: the whole pass re-runs with reseeded voxelization and
+  **summed logits** across repeats before the final argmax
+  (run/evaluate.py:263-278,414-425).
+
+Precision note: the reference computes these dot products in fp16; we use
+fp32 on TPU (bf16 MXU passes) — documented numerics delta, well inside the
+mIoU tolerance.
+
+Run: ``python -m openscene_tpu.runtime.evaluate --config <yaml> [key value]*``
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+from os.path import join
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import metrics
+from ..config import Config, dataset_name_from_root, load_config
+from ..data.batch import EvalBatch, assemble_eval_batch
+from ..data.loaders import FusedFeatureLoader
+from ..labels import NO_FEATURE_ID, labelset_and_palette
+from ..models import apply_unet, init_unet
+from ..models.disnet import output_dim
+from ..text import extract_text_features
+from ..utils.train_utils import get_logger, load_checkpoint
+
+log = get_logger()
+
+
+def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16):
+    """Build the jitted per-batch step: -> (point_logits, point_feat_mask)."""
+
+    @jax.jit
+    def step(params, state, text, batch: EvalBatch):
+        geo = batch.geo
+        text_t = jnp.asarray(text).T.astype(jnp.float32)
+
+        def model_features():
+            x = jnp.asarray(batch.feats).astype(compute_dtype)
+            out, _ = apply_unet(params, state, x, geo, arch=arch, train=False)
+            return out  # (cap0, D) fp32
+
+        fused = jnp.asarray(batch.feat_3d)
+        if mode == "distill":
+            pred_v = model_features() @ text_t
+        elif mode == "fusion":
+            pred_v = fused @ text_t
+        elif mode == "ensemble":
+            out = model_features()
+            nrm = lambda f: f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-5)
+            logit_d = nrm(out) @ text_t
+            logit_f = nrm(fused) @ text_t
+            use_fusion = logit_d.max(-1) < logit_f.max(-1)
+            chosen = jnp.where(use_fusion[:, None], fused, out)
+            pred_v = chosen @ text_t
+        else:
+            raise NotImplementedError(mode)
+
+        inds = jnp.asarray(batch.inds_reconstruct)
+        point_logits = jnp.take(pred_v, inds, axis=0)
+        point_mask = jnp.take(jnp.asarray(batch.mask), inds, axis=0)
+        return point_logits, point_mask
+
+    return step
+
+
+class ZeroShotEvaluator:
+    def __init__(self, cfg: Config, params=None, state=None,
+                 text_features: Optional[np.ndarray] = None,
+                 allow_pseudo_text: bool = False):
+        self.cfg = cfg
+        self.dim = (int(np.asarray(text_features).shape[1])
+                    if text_features is not None
+                    else output_dim(cfg.feature_2d_extractor))
+        self.labelset_name = cfg.labelset or dataset_name_from_root(cfg.data_root)
+        labels, palette, mapper = labelset_and_palette(
+            self.labelset_name, cfg.map_nuscenes_details)
+        self.class_labels, self.palette, self.mapper = labels, palette, mapper
+        if text_features is None:
+            text_features = extract_text_features(
+                labels, cfg.feature_2d_extractor, cfg.data_root,
+                cfg.prompt_eng, cfg.text_embedding_cache,
+                embedding_file=cfg.embedding_file,
+                allow_pseudo=allow_pseudo_text or cfg.allow_pseudo_text,
+                dataset_name=self.labelset_name)
+        self.text = np.asarray(text_features, dtype=np.float32)
+        # reference appends 'unlabeled' AFTER text extraction
+        self.labelset_full = labels + ["unlabeled"]
+        self.params, self.state = params, state
+        self.mode = cfg.feature_type
+        self.step = make_eval_step(self.mode, cfg.arch_3d)
+        self.mark_unknown = (cfg.mark_no_feature_to_unknown
+                             and self.mode == "fusion")
+
+    def _loader(self) -> FusedFeatureLoader:
+        return FusedFeatureLoader(
+            datapath_prefix=self.cfg.data_root,
+            datapath_prefix_feat=self.cfg.data_root_2d_fused_feature,
+            voxel_size=self.cfg.voxel_size, split=self.cfg.split, aug=False,
+            memcache=self.cfg.use_shm, eval_all=True, identifier=6797,
+            input_color=self.cfg.input_color)
+
+    def run(self, save_features_to: str = "") -> Dict[str, float]:
+        cfg = self.cfg
+        loader = self._loader()
+        n_scenes = len(loader.data_paths)
+        is_nuscenes = "nuscenes" in self.labelset_name
+        results: Dict[str, float] = {}
+        store: Optional[List[np.ndarray]] = None
+        rng = np.random.default_rng(cfg.manual_seed)
+
+        for rep in range(cfg.test_repeats):
+            if rep > 0:
+                loader.reseed(int(rng.integers(10000)))
+            preds, gts, masks = [], [], []
+            t0 = time.time()
+            for i in range(n_scenes):
+                sample = loader.get(i)
+                batch = assemble_eval_batch([sample], self.dim)
+                logits, pmask = self.step(self.params, self.state, self.text,
+                                          batch)
+                n_pts = batch.num_points
+                logits = np.asarray(logits[:n_pts], dtype=np.float32)
+                pmask = np.asarray(pmask[:n_pts]) > 0.5
+                label = np.asarray(batch.labels[:n_pts])
+                if is_nuscenes:  # evaluation points are a labeled subset
+                    keep = label != 255
+                    label, logits, pmask = label[keep], logits[keep], pmask[keep]
+                if save_features_to and rep == 0:
+                    # per-scene feature dump for the interactive demo
+                    os.makedirs(save_features_to, exist_ok=True)
+                    np.save(join(save_features_to,
+                                 f"scene{i}_openscene_feat_{self.mode}.npy"),
+                            logits)
+                preds.append(logits.astype(np.float32))
+                gts.append(label)
+                masks.append(pmask)
+            log.info("repeat %d/%d: %d scenes in %.1fs", rep + 1,
+                     cfg.test_repeats, n_scenes, time.time() - t0)
+
+            gt = np.concatenate(gts)
+            mask = np.concatenate(masks)
+            pred_logits = preds
+            if store is None:
+                store = [p.copy() for p in pred_logits]
+            elif rep > 0:
+                for s, p in zip(store, pred_logits):
+                    s += p
+
+            cur = self._metric(np.concatenate(pred_logits), gt, mask)
+            results[f"repeat_{rep}"] = cur
+            if cfg.test_repeats > 1:
+                acc = self._metric(np.concatenate(store), gt, mask)
+                results["accumulated"] = acc
+                log.info("repeat %d mIoU=%.4f accumulated mIoU=%.4f",
+                         rep + 1, cur, acc)
+            else:
+                results["accumulated"] = cur
+                log.info("mIoU=%.4f", cur)
+        results["miou"] = results["accumulated"]
+        return results
+
+    def _metric(self, logits: np.ndarray, gt: np.ndarray,
+                mask: np.ndarray) -> float:
+        pred = logits.argmax(1)
+        if self.mapper is not None:
+            pred = self.mapper[pred]
+        if self.mark_unknown:
+            pred = np.where(mask, pred, NO_FEATURE_ID)
+        return metrics.evaluate(pred, gt, dataset=self.labelset_name,
+                                stdout=False)
+
+
+def load_model_for_eval(cfg: Config):
+    """Model init + checkpoint load (skipped entirely in fusion mode,
+    run/evaluate.py:164-165)."""
+    if cfg.feature_type == "fusion":
+        return None, None
+    params, state = init_unet(jax.random.PRNGKey(cfg.manual_seed), 3,
+                              output_dim(cfg.feature_2d_extractor),
+                              arch=cfg.arch_3d)
+    if cfg.model_path and os.path.isfile(cfg.model_path):
+        payload = load_checkpoint(cfg.model_path,
+                                  {"params": params, "state": state})
+        params, state = payload["params"], payload["state"]
+        log.info("loaded checkpoint %s (epoch %s)", cfg.model_path,
+                 payload.get("epoch"))
+    elif cfg.model_path:
+        raise FileNotFoundError(cfg.model_path)
+    return params, state
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg_path = None
+    rest = []
+    it = iter(argv)
+    for a in it:
+        if a == "--config" or a.startswith("--config="):
+            cfg_path = a.split("=", 1)[1] if "=" in a else next(it)
+        else:
+            rest.append(a)
+    cfg = load_config(cfg_path, tuple(rest))
+    params, state = load_model_for_eval(cfg)
+    ev = ZeroShotEvaluator(cfg, params, state)
+    out_dir = cfg.save_folder if cfg.save_feature_as_numpy else ""
+    results = ev.run(save_features_to=out_dir)
+    log.info("final mIoU: %.4f", results["miou"])
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -82,8 +82,12 @@ class GeometryCaps:
     """
     cap0: int
     level_ratios: Optional[Tuple[float, ...]] = None
+    fixed: Optional[Tuple[int, ...]] = None  # exact per-level caps (for
+    # stacking per-device batches into one sharded program shape)
 
     def cap_for(self, level: int, count: int) -> int:
+        if self.fixed is not None:
+            return self.fixed[level]
         if level == 0:
             return self.cap0
         if self.level_ratios is None:
