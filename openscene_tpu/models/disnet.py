@@ -27,4 +27,5 @@ def init_disnet(key, cfg):
 
 
 def apply_disnet(params, state, x, geo, cfg, *, train: bool = False):
-    return apply_unet(params, state, x, geo, arch=cfg.arch_3d, train=train)
+    return apply_unet(params, state, x, geo, arch=cfg.arch_3d, train=train,
+                      constant_input=not cfg.input_color)

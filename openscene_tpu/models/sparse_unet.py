@@ -217,11 +217,17 @@ def _renest_stage(stage_dict, n):
 
 
 def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
-               train: bool = False):
+               train: bool = False, constant_input: bool = False):
     """Forward pass. x: (cap0, in_ch) activations (compute dtype).
 
     Returns (out, new_state) with out: (cap0, out_ch) fp32 feature matrix
     (the reference returns the dense ``.F``, models/mink_unet.py:174).
+
+    ``constant_input``: the reference's default input is the constant (1,1,1)
+    feature (point_loader.py:166-169).  Then the k=5 stem reduces exactly to
+    ``occupancy @ sum_cin(W)`` — one MXU GEMM instead of 125 gathers of
+    3-channel rows (which are lane-padded to 128 on TPU and dominate the
+    forward).  Only valid when x rows are (1,..,1) at valid rows, 0 at padded.
     """
     a = ARCHS[arch]
     block = a.block
@@ -231,7 +237,14 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
     nums = [l.num for l in geo.levels]
 
     # stem
-    out = sparse_conv(x, params["conv0"], geo.stem.fwd, geo.stem.flip_perm)
+    if constant_input:
+        occ = (geo.stem.fwd < nums[0]).astype(x.dtype)  # (K, cap0)
+        wsum = params["conv0"].sum(axis=1)  # (K, Cout)
+        out = jax.lax.dot_general(
+            occ, wsum.astype(x.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        out = sparse_conv(x, params["conv0"], geo.stem.fwd, geo.stem.flip_perm)
     out = _bn(out, params["bn0"], state["bn0"], masks[0], nums[0], train, ns,
               ("bn0",))
     out_p1 = relu(out)

@@ -80,12 +80,14 @@ def make_optimizer(cfg: Config, max_iter: int):
 def make_train_step(cfg: Config, opt, mesh=None):
     arch = cfg.arch_3d
     loss_kind = cfg.loss_type
+    const_in = not cfg.input_color
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def step_core(params, state, opt_state, batch: DistillBatch):
         def loss_fn(p):
             x = batch.feats.astype(cdtype)
-            out, ns = apply_unet(p, state, x, batch.geo, arch=arch, train=True)
+            out, ns = apply_unet(p, state, x, batch.geo, arch=arch, train=True,
+                                 constant_input=const_in)
             if loss_kind == "cosine":
                 l = cosine_distill_loss(out, batch.feat_3d, batch.mask)
             elif loss_kind == "l1":
@@ -127,12 +129,13 @@ def make_val_step(cfg: Config):
     (reference validate(), run/distill.py:403-447)."""
     arch = cfg.arch_3d
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    const_in = not cfg.input_color
 
     @jax.jit
     def step(params, state, text, batch):
         x = batch.feats.astype(cdtype)
         out, _ = apply_unet(params, state, x, batch.geo, arch=arch,
-                            train=False)
+                            train=False, constant_input=const_in)
         logits_v = out @ jnp.asarray(text).T.astype(jnp.float32)
         logits = jnp.take(logits_v, batch.inds_reconstruct, axis=0)
         labels = batch.point_labels

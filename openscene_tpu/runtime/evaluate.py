@@ -47,7 +47,8 @@ from ..utils.train_utils import get_logger, load_checkpoint
 log = get_logger()
 
 
-def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16):
+def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
+                   constant_input: bool = True):
     """Build the jitted per-batch step: -> (point_logits, point_feat_mask)."""
 
     @jax.jit
@@ -57,7 +58,8 @@ def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16):
 
         def model_features():
             x = jnp.asarray(batch.feats).astype(compute_dtype)
-            out, _ = apply_unet(params, state, x, geo, arch=arch, train=False)
+            out, _ = apply_unet(params, state, x, geo, arch=arch, train=False,
+                                constant_input=constant_input)
             return out  # (cap0, D) fp32
 
         fused = jnp.asarray(batch.feat_3d)
@@ -108,7 +110,8 @@ class ZeroShotEvaluator:
         self.labelset_full = labels + ["unlabeled"]
         self.params, self.state = params, state
         self.mode = cfg.feature_type
-        self.step = make_eval_step(self.mode, cfg.arch_3d)
+        self.step = make_eval_step(self.mode, cfg.arch_3d,
+                                   constant_input=not cfg.input_color)
         self.mark_unknown = (cfg.mark_no_feature_to_unknown
                              and self.mode == "fusion")
 

@@ -67,21 +67,32 @@ def _sparse_conv_fwd(x, w, fwd, flip_perm):
 
 
 def _sparse_conv_bwd(res, g):
+    """One gather of g per offset serves BOTH input and weight grads:
+
+    with G_k = g[fwd[k]] (the transpose map of the mirrored offset),
+      dx      = sum_k G_k @ w[flip(k)].T
+      dW[f(k)] = x.T @ G_k
+    (substituting v = fwd[k][r] in dW[k] = sum_r x[fwd[k][r]] g[r]^T turns the
+    x-gather into the g-gather already needed for dx) — halves the backward's
+    gather traffic, which is the dominant cost on TPU.
+    """
     x, w, fwd, flip_perm = res
-    # dx[v] = sum_k g[fwd[k, v]] @ w[flip(k)].T  (transpose of a partial
-    # bijection = the mirrored offset's forward map) — gather, never scatter.
+    cdtype = x.dtype
     w_flip_t = jnp.transpose(jnp.take(w, flip_perm, axis=0), (0, 2, 1))
-    dx = _gather_matmul_sum(g, w_flip_t, fwd, g.shape[0]).astype(x.dtype)
 
-    # dW[k] = x[fwd[k]]^T @ g ; null-row gathers contribute exact zeros.
-    def step(_, idx):
-        gx = jnp.take(x, idx, axis=0)
-        dwk = jnp.dot(gx.T, g.astype(x.dtype),
+    def step(acc, kslice):
+        idx, wk_t = kslice
+        gk = jnp.take(g, idx, axis=0)
+        acc = acc + jnp.dot(gk, wk_t.astype(cdtype),
+                            preferred_element_type=jnp.float32)
+        dwk = jnp.dot(x.T, gk.astype(cdtype),
                       preferred_element_type=jnp.float32)
-        return None, dwk
+        return acc, dwk
 
-    _, dw = jax.lax.scan(step, None, fwd)
-    return dx, dw.astype(w.dtype), None, None
+    acc0 = jnp.zeros((g.shape[0], x.shape[1]), dtype=jnp.float32)
+    dx, dw_flip = jax.lax.scan(step, acc0, (fwd, w_flip_t))
+    dw = jnp.take(dw_flip, flip_perm, axis=0)  # un-permute: row k holds dW[k]
+    return dx.astype(cdtype), dw.astype(w.dtype), None, None
 
 
 sparse_conv.defvjp(_sparse_conv_fwd, _sparse_conv_bwd)
