@@ -30,7 +30,22 @@ import numpy as np
 
 from ..sparse.ops import (masked_batch_norm, relu, sparse_conv,
                           sparse_down_conv, sparse_up_conv, valid_mask)
+from ..sparse.pallas_conv import windowed_sparse_conv
 from ..sparse.types import UNetGeometry
+
+
+def _stencil_conv(x, w, plan, wplan):
+    """k=3 stencil conv: windowed Pallas kernel when a window plan exists
+    for the level, else the XLA gather path (identical semantics)."""
+    if wplan is not None:
+        return windowed_sparse_conv(x, w, plan.flip_perm, wplan.win_start,
+                                    wplan.lidx, wplan.spill_tiles,
+                                    wplan.spill_fwd)
+    return sparse_conv(x, w, plan.fwd, plan.flip_perm)
+
+
+def _wplan(geo: UNetGeometry, level: int):
+    return geo.wplans[level] if len(geo.wplans) > level else None
 
 
 @dataclass(frozen=True)
@@ -165,14 +180,15 @@ def _conv1x1(x, w):
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _apply_block(p, s, x, plan, mask, num, train, new_state, path, block):
+def _apply_block(p, s, x, plan, wplan, mask, num, train, new_state, path,
+                 block):
     residual = x
     if block == "basic":
-        out = sparse_conv(x, p["conv1"], plan.fwd, plan.flip_perm)
+        out = _stencil_conv(x, p["conv1"], plan, wplan)
         out = _bn(out, p["bn1"], s["bn1"], mask, num, train, new_state,
                   path + ("bn1",))
         out = relu(out)
-        out = sparse_conv(out, p["conv2"], plan.fwd, plan.flip_perm)
+        out = _stencil_conv(out, p["conv2"], plan, wplan)
         out = _bn(out, p["bn2"], s["bn2"], mask, num, train, new_state,
                   path + ("bn2",))
     else:
@@ -180,7 +196,7 @@ def _apply_block(p, s, x, plan, mask, num, train, new_state, path, block):
         out = _bn(out, p["bn1"], s["bn1"], mask, num, train, new_state,
                   path + ("bn1",))
         out = relu(out)
-        out = sparse_conv(out, p["conv2"], plan.fwd, plan.flip_perm)
+        out = _stencil_conv(out, p["conv2"], plan, wplan)
         out = _bn(out, p["bn2"], s["bn2"], mask, num, train, new_state,
                   path + ("bn2",))
         out = relu(out)
@@ -194,9 +210,10 @@ def _apply_block(p, s, x, plan, mask, num, train, new_state, path, block):
     return relu(out + residual)
 
 
-def _apply_stage(ps, ss, x, plan, mask, num, train, new_state, name, block):
+def _apply_stage(ps, ss, x, plan, wplan, mask, num, train, new_state, name,
+                 block):
     for i, (p, s) in enumerate(zip(ps, ss)):
-        x = _apply_block(p, s, x, plan, mask, num, train, new_state,
+        x = _apply_block(p, s, x, plan, wplan, mask, num, train, new_state,
                          (name, i), block)
     return x
 
@@ -258,8 +275,8 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
                   train, ns, (f"bn{i}",))
         out = relu(out)
         out = _apply_stage(params[f"block{i}"], state[f"block{i}"], out,
-                           geo.self3[i], masks[i], nums[i], train, ns,
-                           f"block{i}", block)
+                           geo.self3[i], _wplan(geo, i), masks[i], nums[i],
+                           train, ns, f"block{i}", block)
         enc.append(out)
 
     # decoder: convtr{i} from level (8-i) down to level (7-i), skip-concat
@@ -271,8 +288,8 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
         out = relu(out)
         out = jnp.concatenate([out, enc[lvl]], axis=1)
         out = _apply_stage(params[f"block{i + 1}"], state[f"block{i + 1}"],
-                           out, geo.self3[lvl], masks[lvl], nums[lvl], train,
-                           ns, f"block{i + 1}", block)
+                           out, geo.self3[lvl], _wplan(geo, lvl), masks[lvl],
+                           nums[lvl], train, ns, f"block{i + 1}", block)
 
     out = _conv1x1(out, params["final"]).astype(jnp.float32)
 

@@ -200,11 +200,13 @@ def build_down_edge(fine: LevelGeometry, coarse_cap: Optional[int] = None,
 
 
 def build_unet_geometry(coords: np.ndarray, caps: Optional[GeometryCaps] = None,
-                        stem_kernel: int = 5, num_levels: int = 5
-                        ) -> UNetGeometry:
+                        stem_kernel: int = 5, num_levels: int = 5,
+                        build_windows: Optional[bool] = None) -> UNetGeometry:
     """Full geometry for a 4-down/4-up UNet from batched voxel coords.
 
-    coords: (N, 4) int — (batch, x, y, z) at stride 1 (deduplicated).
+    coords: (N, 4) int — (batch, x, y, z) at stride 1 (deduplicated); MUST be
+    lex-sorted by (batch, x, y, z) for the windowed Pallas kernels to engage
+    (data/batch.py sorts; unsorted input still works via the XLA fallback).
     """
     coords = np.asarray(coords)
     if caps is None:
@@ -220,5 +222,15 @@ def build_unet_geometry(coords: np.ndarray, caps: Optional[GeometryCaps] = None,
 
     stem = build_self_plan(levels[0], stem_kernel)
     self3 = tuple(build_self_plan(lv, 3) for lv in levels)
+    if build_windows is None:
+        # Mosaic kernels only exist on real TPU backends
+        import jax
+        build_windows = jax.default_backend() == "tpu"
+    wplans: Tuple = (None,) * num_levels
+    if build_windows:
+        from .pallas_conv import build_window_plan
+        wplans = tuple(
+            build_window_plan(self3[l].fwd, int(levels[l].num), levels[l].cap)
+            for l in range(num_levels))
     return UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
-                        down=tuple(downs))
+                        down=tuple(downs), wplans=wplans)

@@ -1,0 +1,377 @@
+"""Pallas windowed gather-GEMM sparse convolution (the hot kernel).
+
+XLA's HBM row-gather runs at ~30-100 GB/s on TPU and dominates the sparse
+conv (27 gathers per stencil).  This kernel exploits the spatial lex-sort of
+the voxel rows (data/batch.py): measured neighbor row distances decompose as
+
+  dz offsets:   |d| <= 1          (z-runs are adjacent rows)
+  dy offsets:   |d| <= ~128       (within an x-plane)
+  dx offsets:   within the previous/next x-plane (a bounded window per tile)
+
+so for each 128-row output tile, ALL stencil inputs live in three small row
+windows (dx = -1 / 0 / +1).  Per tile the kernel:
+
+1. DMAs the three (WIN, C) row slabs HBM -> VMEM (16-row-aligned dynamic
+   starts), transposes to (C, WIN) and converts to f32 (the TPU lane-crossbar
+   gather is 32-bit only);
+2. gathers each offset's (C, TILE) columns with the 128-lane crossbar
+   (4 gathers + selects per offset across WIN/128 groups), masking missing
+   neighbors, building a (K*C, TILE) stacked operand in VMEM;
+3. runs ONE MXU GEMM per tile: (K*C, TILE) x (Cout, K*C) -> (TILE, Cout).
+
+The same local-index plan drives the backward pass: with G_k = g[fwd[k]],
+dx = sum_k G_k @ W[flip k]^T and dW[flip k] = x^T @ G_k (see sparse/ops.py),
+so one fused backward kernel gathers g once per offset and produces both
+cotangents.
+
+Coverage is data-dependent: the host/device plan builder verifies every tile
+fits its windows and returns None otherwise, and callers fall back to the
+XLA gather path (sparse/ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .types import stencil_offsets
+
+TILE = 128
+WIN = 512
+NCLASS = 3  # dx = -1 / 0 / +1 window classes
+INVALID = WIN  # any local index >= WIN means "missing neighbor"
+
+
+class WindowPlan(NamedTuple):
+    win_start: np.ndarray   # (ntiles, NCLASS) int32, 16-aligned window starts
+    lidx: np.ndarray        # (ntiles, K, TILE) int32 local indices
+    k_class: np.ndarray     # (K,) int32 static dx-class of each offset
+    spill_tiles: np.ndarray  # (ST,) int32 tile ids needing XLA recompute (-1 pad)
+    spill_fwd: np.ndarray   # (K, ST, TILE) int32 global gather rows for spills
+
+
+def _bucket_pow2(n: int, lo: int = 8) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def build_window_plan(fwd: np.ndarray, num: int, cap: int,
+                      kernel_size: int = 3,
+                      max_spill_frac: float = 0.1) -> Optional[WindowPlan]:
+    """Derive per-tile window starts + local indices from the global gather
+    plan.
+
+    Tiles whose stencil inputs don't fit their WIN-row windows (~1% on real
+    scenes: plane-size outliers, scene boundaries) contribute ZERO in the
+    kernel (all-INVALID lidx) and are listed in ``spill_tiles`` for an exact
+    tile-aligned recompute through the XLA gather path — forward, dx and dW
+    all consume the same (k, row, fwd[k,row]) pair set, so the correction is
+    additive in every direction.  Returns None only when the spill fraction
+    exceeds ``max_spill_frac`` (fall back entirely).
+    """
+    K = fwd.shape[0]
+    if cap < WIN or cap % TILE != 0:
+        return None
+    offsets = stencil_offsets(kernel_size)
+    k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
+    if k_class.max() >= NCLASS:
+        return None
+    ntiles = cap // TILE
+    f = fwd.reshape(K, ntiles, TILE)
+    valid = f < num  # real neighbors only; nulls can point anywhere
+    big = np.where(valid, f, np.iinfo(np.int32).max)
+    win_start = np.zeros((ntiles, NCLASS), dtype=np.int64)
+    lidx = np.full((ntiles, K, TILE), INVALID, dtype=np.int32)
+    bad = np.zeros(ntiles, dtype=bool)
+    for c in range(NCLASS):
+        ks = np.flatnonzero(k_class == c)
+        mn = big[ks].min(axis=(0, 2))          # (ntiles,)
+        mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
+        mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
+        start = np.minimum((mn // 16) * 16, cap - WIN)
+        bad |= (mx - start) >= WIN
+        win_start[:, c] = start
+        loc = f[ks] - start[None, :, None]
+        loc = np.where(valid[ks], loc, INVALID)
+        lidx[:, ks, :] = np.transpose(loc, (1, 0, 2))
+
+    spill_ids = np.flatnonzero(bad)
+    if len(spill_ids) > max_spill_frac * ntiles:
+        return None
+    lidx[spill_ids] = INVALID  # kernel contributes exactly zero there
+    ST = _bucket_pow2(max(len(spill_ids), 1))
+    spill_tiles = np.full(ST, -1, dtype=np.int32)
+    spill_tiles[:len(spill_ids)] = spill_ids
+    spill_fwd = np.zeros((K, ST, TILE), dtype=np.int32)
+    spill_fwd[:, :len(spill_ids), :] = f[:, spill_ids, :]
+    return WindowPlan(win_start=win_start.astype(np.int32),
+                      lidx=lidx.astype(np.int32), k_class=k_class,
+                      spill_tiles=spill_tiles, spill_fwd=spill_fwd)
+
+
+def _gather_stack(lidx_blk, wins_f32, k_class, K, C, stack_ref,
+                  out_dtype=jnp.bfloat16):
+    """Crossbar-gather every offset's (C, TILE) columns into stack_ref."""
+    G = WIN // 128
+    for k in range(K):
+        ik = lidx_blk[k]                     # (TILE,) int32
+        val = ik < INVALID
+        ikc = jnp.where(val, ik, 0)
+        lo = jnp.broadcast_to((ikc % 128).reshape(1, TILE), (C, TILE))
+        hi = ikc // 128
+        winT = wins_f32[k_class[k]]          # (C, WIN) f32
+        acc = jnp.zeros((C, TILE), jnp.float32)
+        for g in range(G):
+            part = jnp.take_along_axis(winT[:, g*128:(g+1)*128], lo, axis=1)
+            sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (C, TILE))
+            acc = jnp.where(sel, part, acc)
+        acc = acc * jnp.broadcast_to(val.reshape(1, TILE), (C, TILE))
+        stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
+
+
+def _load_windows(ws_ref, t, x_hbm, win_scratch, sems, C, dtype):
+    """Start + wait the three window DMAs for tile t; return f32 transposed
+    windows."""
+    cps = []
+    for c in range(NCLASS):
+        # ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands
+        # are lane-padded to 128 in SMEM and blow the 1MB budget
+        start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, WIN)], win_scratch.at[c], sems.at[c])
+        cp.start()
+        cps.append(cp)
+    outs = []
+    for c in range(NCLASS):
+        cps[c].wait()
+        outs.append(win_scratch[c].T.astype(jnp.float32))
+    return outs
+
+
+def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
+    k_class = tuple(int(v) for v in k_class)
+
+    def kernel(ws_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, stack, sems):
+        t = pl.program_id(0)
+        wins = _load_windows(ws_ref, t, x_hbm, win, sems, C, jnp.bfloat16)
+        _gather_stack(lidx_ref[0], wins, k_class, K, C, stack)
+        # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
+        # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
+        # one (Cout, TILE) output transpose is cheap
+        o = jax.lax.dot_general(
+            wT_ref[...], stack[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[...] = o.T.astype(jnp.bfloat16)
+
+    def call(x, wT, win_start, lidx):
+        cap = x.shape[0]
+        ntiles = cap // TILE
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec((1, K, TILE), lambda t, ws: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws: (t, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((NCLASS, WIN, C), jnp.bfloat16),
+                    pltpu.VMEM((K * C, TILE), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((NCLASS,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((cap, Cout), jnp.bfloat16),
+        )(win_start.reshape(-1), lidx, x, wT)
+
+    return call
+
+
+def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
+    """Fused backward: gathers G_k = g[fwd[k]] once per offset and emits
+    dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout)."""
+    k_class = tuple(int(v) for v in k_class)
+
+    def kernel(ws_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref, dw_ref,
+               win, stack, acc, sems):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        wins = _load_windows(ws_ref, t, g_hbm, win, sems, Cout, jnp.bfloat16)
+        _gather_stack(lidx_ref[0], wins, k_class, K, Cout, stack)
+        # canonical orientations (see fwd kernel note)
+        dxT = jax.lax.dot_general(
+            wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[...] = dxT.T.astype(jnp.bfloat16)
+        # dW acc (K*Cout, C) += stack (K*Cout, TILE) @ x_tile (TILE, C)
+        acc[...] += jax.lax.dot_general(
+            stack[...], x_blk[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            dw_ref[...] = acc[...]
+
+    def call(x, g, wflipT, win_start, lidx):
+        cap = x.shape[0]
+        ntiles = cap // TILE
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec((1, K, TILE), lambda t, ws: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TILE, C), lambda t, ws: (t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((TILE, C), lambda t, ws: (t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((NCLASS, WIN, Cout), jnp.bfloat16),
+                    pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
+                    pltpu.VMEM((K * Cout, C), jnp.float32),
+                    pltpu.SemaphoreType.DMA((NCLASS,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((cap, C), jnp.bfloat16),
+                jax.ShapeDtypeStruct((K * Cout, C), jnp.float32),
+            ],
+        )(win_start.reshape(-1), lidx, x, g, wflipT)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cached(K, C, Cout, k_class):
+    return make_fwd_kernel(K, C, Cout, k_class)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cached(K, C, Cout, k_class):
+    return make_bwd_kernel(K, C, Cout, k_class)
+
+
+def _spill_rows(spill_tiles):
+    rows = (jnp.maximum(spill_tiles, 0)[:, None] * TILE
+            + jnp.arange(TILE)[None, :])
+    return rows.reshape(-1)  # (ST*TILE,)
+
+
+def _spill_gather_matmul(src, w_stack, spill_fwd, valid_rows):
+    """sum_k src[spill_fwd[k]] @ w_stack[k], masked by slot validity."""
+    def step(acc, ks):
+        idx, wk = ks
+        gk = jnp.take(src, idx.reshape(-1), axis=0)
+        return acc + jnp.dot(gk, wk.astype(src.dtype),
+                             preferred_element_type=jnp.float32), None
+    ST_T = spill_fwd.shape[1] * TILE
+    acc0 = jnp.zeros((ST_T, w_stack.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (spill_fwd, w_stack))
+    return acc * valid_rows[:, None]
+
+
+def _pad128(n: int) -> int:
+    return max(128, -(-n // 128) * 128)
+
+
+def _static_k_class(K: int):
+    kernel_size = round(K ** (1 / 3))
+    assert kernel_size ** 3 == K, K
+    off = stencil_offsets(kernel_size)
+    return tuple(int(v) for v in (off[:, 0] - off[:, 0].min()))
+
+
+@jax.custom_vjp
+def windowed_sparse_conv(x, w, flip_perm, win_start, lidx,
+                         spill_tiles, spill_fwd):
+    """Drop-in stride-1 stencil conv using the windowed Pallas kernels.
+
+    x: (cap, C) bf16; w: (K, C, Cout) fp32; plan arrays from
+    build_window_plan. Semantics identical to sparse/ops.py:sparse_conv.
+    Spilled tiles (zeroed in-kernel) are recomputed via the XLA gather path
+    and added in.  Channel dims are zero-padded to multiples of 128 at the
+    kernel boundary (Mosaic requires 128-lane VMEM buffers).
+    """
+    K, C, Cout = w.shape
+    Cp, Coutp = _pad128(C), _pad128(Cout)
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Cp - C)))
+    wp = jnp.pad(w, ((0, 0), (0, Cp - C), (0, Coutp - Cout)))
+    wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cp).astype(jnp.bfloat16)
+    call = _fwd_cached(K, Cp, Coutp, _static_k_class(K))
+    out = call(xp, wT, win_start, lidx)[:, :Cout]
+    rows = _spill_rows(spill_tiles)
+    valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
+    sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w, spill_fwd, valid)
+    return out.at[rows].add(sp.astype(out.dtype))
+
+
+def _wconv_fwd(x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd):
+    out = windowed_sparse_conv(x, w, flip_perm, win_start, lidx,
+                               spill_tiles, spill_fwd)
+    return out, (x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd)
+
+
+def _wconv_bwd(res, g):
+    x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd = res
+    K, C, Cout = w.shape
+    Cp, Coutp = _pad128(C), _pad128(Cout)
+    w_flip = jnp.take(w, flip_perm, axis=0)
+    # padded w_flip_t (Cp, K*Coutp): row c, col k*Coutp+o = W[flip(k), c, o]
+    w_flip_p = jnp.pad(w_flip, ((0, 0), (0, Cp - C), (0, Coutp - Cout)))
+    wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Coutp)
+    call = _bwd_cached(K, Cp, Coutp, _static_k_class(K))
+    gb = g.astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    gp = jnp.pad(gb, ((0, 0), (0, Coutp - Cout)))
+    xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
+    dx_p, dw_acc = call(xpad, gp, wflipT.astype(jnp.bfloat16), win_start, lidx)
+    dx = dx_p[:, :C]
+    # dw_acc[k*Coutp+o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
+    dw_flip = jnp.transpose(
+        dw_acc.reshape(K, Coutp, Cp), (0, 2, 1))[:, :C, :Cout]
+
+    # --- spill corrections (additive; kernel contributed zero there) ---
+    rows = _spill_rows(spill_tiles)
+    valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
+    w_flip_t_stack = jnp.transpose(w_flip, (0, 2, 1))  # (K, Cout, C)
+    dx_sp = _spill_gather_matmul(gb, w_flip_t_stack, spill_fwd, valid)
+    dx = dx.at[rows].add(dx_sp.astype(dx.dtype))
+
+    x_sp = jnp.take(xb, rows, axis=0) * valid[:, None].astype(jnp.bfloat16)
+
+    def dw_step(_, idx):
+        gk = jnp.take(gb, idx.reshape(-1), axis=0)
+        return None, jnp.dot(x_sp.T, gk, preferred_element_type=jnp.float32)
+
+    _, dw_sp_flip = jax.lax.scan(dw_step, None, spill_fwd)  # (K, C, Cout)
+    dw_flip = dw_flip + dw_sp_flip
+    dw = jnp.take(dw_flip, flip_perm, axis=0)
+    return (dx.astype(x.dtype), dw.astype(w.dtype), None, None, None, None,
+            None)
+
+
+windowed_sparse_conv.defvjp(_wconv_fwd, _wconv_bwd)

@@ -93,11 +93,14 @@ class UNetGeometry(NamedTuple):
     self3:   k=3 ConvPlan per level (residual blocks run at every level).
     down:    DownPlan per edge (level i -> i+1); also serves the transposed
              up-convolutions on the decoder path.
+    wplans:  per-level windowed-kernel plans (pallas_conv.WindowPlan) or None
+             when that level falls back to the XLA gather path.
     """
     levels: Tuple[LevelGeometry, ...]
     stem: ConvPlan
     self3: Tuple[ConvPlan, ...]
     down: Tuple[DownPlan, ...]
+    wplans: Tuple = ()
 
 
 def stencil_offsets(kernel_size: int, dimension: int = 3) -> np.ndarray:
