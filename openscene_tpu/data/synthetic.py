@@ -102,10 +102,12 @@ def make_fused_features(labels: np.ndarray, num_classes: int, dim: int,
     protos = class_prototypes(num_classes, dim)
     lab = labels.copy()
     lab[lab == 255] = rng.integers(0, num_classes, (lab == 255).sum())
-    feats = protos[lab] + rng.standard_normal((len(lab), dim)).astype(np.float32) * noise
-    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
     mask_full = rng.random(len(lab)) < visible_frac
-    return feats[mask_full].astype(np.float16), mask_full
+    lab = lab[mask_full]
+    feats = protos[lab] + rng.standard_normal(
+        (len(lab), dim), dtype=np.float32) * noise
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    return feats.astype(np.float16), mask_full
 
 
 def build_synthetic_dataset(root: str, n_train: int = 4, n_val: int = 2,

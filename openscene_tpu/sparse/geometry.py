@@ -113,9 +113,10 @@ def _spread_nulls(shape, num: int, cap: int) -> np.ndarray:
     [num, cap). Pointing every missing neighbor at one row serializes the
     gather on that hot row (~1.7x measured slowdown); any padded row is an
     equally valid zero source."""
-    pad = max(cap - num, 1)
-    flat = np.arange(int(np.prod(shape)), dtype=np.int64)
-    return (num + (flat * 2654435761 % pad)).astype(np.int32).reshape(shape)
+    pad = np.uint32(max(cap - num, 1))
+    flat = np.arange(int(np.prod(shape)), dtype=np.uint32)
+    flat *= np.uint32(2654435761)  # wrapping multiply: cheap pseudo-shuffle
+    return (num + (flat % pad).astype(np.int32)).reshape(shape)
 
 
 def _lookup(sorted_keys: np.ndarray, order: np.ndarray, probes: np.ndarray,
@@ -146,14 +147,20 @@ def build_self_plan(level: LevelGeometry, kernel_size: int,
     cap = level.cap
     n = int(level.num)
     offsets = stencil_offsets(kernel_size)
+    K = len(offsets)
+    fwd = _spread_nulls((K, cap), n, cap)
+
+    from . import native
+    if native.available():
+        native.build_self_plan_native(level.coords, n, cap, offsets, fwd)
+        return ConvPlan(fwd=fwd, flip_perm=flip_permutation(offsets))
+
     valid = level.coords[:n]
     keys = pack_coords(valid)
     if sorted_keys is None:
         order = np.argsort(keys).astype(np.int32)
         sorted_keys = keys[order]
     deltas = offset_key_delta(offsets)
-    K = len(offsets)
-    fwd = _spread_nulls((K, cap), n, cap)
     center = K // 2  # odd stencils: center offset is the identity map
     for k in range(K):
         if k == center:
@@ -172,6 +179,30 @@ def build_down_edge(fine: LevelGeometry, coarse_cap: Optional[int] = None,
     be passed instead of a fixed cap to size the level after counting.
     """
     n = int(fine.num)
+    from . import native
+    if native.available():
+        # native builds in first-appearance order; remap to lex order so the
+        # coarser level keeps the sortedness the windowed kernels rely on
+        cap_guess = coarse_cap if coarse_cap is not None else fine.cap
+        fwd_tmp = np.zeros((8, cap_guess), dtype=np.int32)
+        pc, cp, off_id = native.build_down_edge_native(
+            fine.coords, n, cap_guess, fwd_tmp)
+        n_parent = len(pc)
+        if coarse_cap is None:
+            coarse_cap = cap_fn(n_parent)
+        order = np.lexsort((pc[:, 3], pc[:, 2], pc[:, 1], pc[:, 0]))
+        inv = np.empty_like(order)
+        inv[order] = np.arange(n_parent)
+        coarse = _pad_level(pc[order], coarse_cap)
+        child_parent = _spread_nulls((fine.cap,), n_parent, coarse_cap)
+        child_parent[:n] = inv[cp].astype(np.int32)
+        child_offset = np.zeros(fine.cap, dtype=np.int32)
+        child_offset[:n] = off_id
+        fwd = _spread_nulls((8, coarse_cap), n, fine.cap)
+        fwd[child_offset[:n], child_parent[:n]] = np.arange(n, dtype=np.int32)
+        return coarse, DownPlan(fwd=fwd, child_parent=child_parent,
+                                child_offset=child_offset)
+
     child = fine.coords[:n].astype(np.int64)
     parent_coords = child.copy()
     parent_coords[:, 1:] = np.floor_divide(child[:, 1:], 2)
