@@ -204,12 +204,24 @@ class DistillTrainer:
             log.info("resumed from %s (epoch %d)", cfg.resume, self.start_epoch)
 
     def _epoch_batches(self):
+        """Batches built ``workers`` threads ahead of the device step
+        (replaces the reference's DataLoader worker pool)."""
+        from ..data.prefetch import Prefetcher
+
         order = self.rng.permutation(len(self.train_data))
         bs = self.cfg.batch_size
-        for i in range(self.batches_per_epoch):
+
+        def build(i):
             idxs = order[i * bs:(i + 1) * bs]
             samples = [self.train_data.get(j) for j in idxs]
-            yield assemble_distill_batch(samples, self.dim, rng=self.rng)
+            return assemble_distill_batch(samples, self.dim, rng=self.rng)
+
+        if self.cfg.workers <= 1:
+            for i in range(self.batches_per_epoch):
+                yield build(i)
+        else:
+            yield from Prefetcher(build, range(self.batches_per_epoch),
+                                  workers=self.cfg.workers)
 
     def train_epoch(self, epoch: int, writer: Optional[ScalarWriter] = None):
         loss_meter = AverageMeter()

@@ -30,6 +30,19 @@ from ..utils.train_utils import (AverageMeter, ScalarWriter, get_logger,
 log = get_logger()
 
 
+def focal_loss(probs, labels, num_classes: int, gamma: float = 2.0,
+               eps: float = 1e-7, reduce: str = "sum"):
+    """Focal loss on probabilities (reference util/util.py:261-285 parity:
+    labels==255 map to an extra one-hot column that is then dropped, i.e.
+    ignored; probs are clamped to [eps, 1-eps])."""
+    import jax.numpy as jnp
+    lab = jnp.where(labels == 255, num_classes, labels).astype(jnp.int32)
+    y = jax.nn.one_hot(lab, num_classes + 1)[:, :num_classes]
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    loss = -y * jnp.log(p) * (1.0 - p) ** gamma
+    return jnp.mean(loss) if reduce == "mean" else jnp.sum(loss)
+
+
 def cross_entropy_ignore(logits, labels, ignore: int = 255):
     """Mean CE over non-ignored voxels (torch CrossEntropyLoss semantics)."""
     valid = labels != ignore

@@ -89,6 +89,30 @@ def _try_hf_clip(model_name: str, labels: Sequence[str]) -> Optional[np.ndarray]
     return feats.float().numpy()
 
 
+def extract_image_features_from_folder(folder: str,
+                                       model_name: str = "ViT-L/14@336px"
+                                       ) -> np.ndarray:
+    """L2-normalized CLIP image embeddings for every image in a folder
+    (reference util/util.py:68-84); requires local HF CLIP weights."""
+    import glob as _glob
+
+    from PIL import Image
+    from transformers import CLIPModel, CLIPProcessor
+    import torch
+
+    hf = _HF_NAMES[model_name]
+    proc = CLIPProcessor.from_pretrained(hf, local_files_only=True)
+    model = CLIPModel.from_pretrained(hf, local_files_only=True)
+    feats = []
+    with torch.no_grad():
+        for path in sorted(_glob.glob(os.path.join(folder, "*"))):
+            image = Image.open(path).convert("RGB")
+            inputs = proc(images=image, return_tensors="pt")
+            f = model.get_image_features(**inputs)
+            feats.append((f / f.norm(dim=-1, keepdim=True)).float().numpy())
+    return np.concatenate(feats, axis=0)
+
+
 def extract_text_features(labelset: Sequence[str], extractor: str = "openseg",
                           data_root: str = "", prompt_eng: bool = True,
                           cache_dir: str = "saved_text_embeddings",
