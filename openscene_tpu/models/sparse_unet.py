@@ -39,8 +39,8 @@ def _stencil_conv(x, w, plan, wplan):
     for the level, else the XLA gather path (identical semantics)."""
     if wplan is not None:
         return windowed_sparse_conv(x, w, plan.flip_perm, wplan.win_start,
-                                    wplan.lidx, wplan.spill_tiles,
-                                    wplan.spill_fwd)
+                                    wplan.g0pack, wplan.lidx,
+                                    wplan.spill_tiles, wplan.spill_fwd)
     return sparse_conv(x, w, plan.fwd, plan.flip_perm)
 
 

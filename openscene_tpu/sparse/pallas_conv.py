@@ -48,9 +48,15 @@ NCLASS = 3  # dx = -1 / 0 / +1 window classes
 INVALID = WIN  # any local index >= WIN means "missing neighbor"
 
 
+INVALID2 = 256  # sentinel for per-offset rebased indices (2-group gather)
+
+
 class WindowPlan(NamedTuple):
     win_start: np.ndarray   # (ntiles, NCLASS) int32, 16-aligned window starts
-    lidx: np.ndarray        # (ntiles, K, TILE) int32 local indices
+    lidx: np.ndarray        # (ntiles, K, TILE) int32 per-offset-rebased local
+    # indices in [0, 256) (INVALID2 = missing)
+    g0pack: np.ndarray      # (ntiles, NCLASS) int32: 2-bit per-offset 128-lane
+    # group bases within the class window, packed 9 offsets per class
     k_class: np.ndarray     # (K,) int32 static dx-class of each offset
     spill_tiles: np.ndarray  # (ST,) int32 tile ids needing XLA recompute (-1 pad)
     spill_fwd: np.ndarray   # (K, ST, TILE) int32 global gather rows for spills
@@ -84,24 +90,31 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
     if k_class.max() >= NCLASS:
         return None
+    if (K // NCLASS) * 2 > 32:
+        return None  # g0pack holds 2 bits per offset of a class in one int32
     ntiles = cap // TILE
     f = fwd.reshape(K, ntiles, TILE)
     valid = f < num  # real neighbors only; nulls can point anywhere
     big = np.where(valid, f, np.iinfo(np.int32).max)
     win_start = np.zeros((ntiles, NCLASS), dtype=np.int64)
+    g0pack = np.zeros((ntiles, NCLASS), dtype=np.int64)
     lidx = np.full((ntiles, K, TILE), INVALID, dtype=np.int32)
     bad = np.zeros(ntiles, dtype=bool)
+    G = WIN // 128
     for c in range(NCLASS):
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))          # (ntiles,)
-        mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
         start = np.minimum((mn // 16) * 16, cap - WIN)
-        bad |= (mx - start) >= WIN
         win_start[:, c] = start
-        loc = f[ks] - start[None, :, None]
+        mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
+        bad |= (mx - start) >= WIN
+        loc = f[ks] - start[None, :, None]     # class-window-relative
         loc = np.where(valid[ks], loc, INVALID)
         lidx[:, ks, :] = np.transpose(loc, (1, 0, 2))
+        # g0pack kept for API stability; the in-kernel dynamic-base variant it
+        # fed was measured slower than the static group loop (see
+        # _gather_stack) so it is currently unused (zeros)
 
     spill_ids = np.flatnonzero(bad)
     if len(spill_ids) > max_spill_frac * ntiles:
@@ -113,56 +126,64 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     spill_fwd = np.zeros((K, ST, TILE), dtype=np.int32)
     spill_fwd[:, :len(spill_ids), :] = f[:, spill_ids, :]
     return WindowPlan(win_start=win_start.astype(np.int32),
-                      lidx=lidx.astype(np.int32), k_class=k_class,
+                      lidx=lidx.astype(np.int32),
+                      g0pack=g0pack.astype(np.int32), k_class=k_class,
                       spill_tiles=spill_tiles, spill_fwd=spill_fwd)
 
 
-def _gather_stack(lidx_blk, wins_f32, k_class, K, C, stack_ref,
+def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
                   out_dtype=jnp.bfloat16):
-    """Crossbar-gather every offset's (C, TILE) columns into stack_ref."""
+    """Crossbar-gather every offset's (C, TILE) columns into stack_ref.
+
+    Missing-neighbor validity is folded into the group selects (the sentinel
+    maps hi outside every group).  Two dynamic-base variants (per-offset
+    2-group spans, packed scalar bases) were measured SLOWER than this static
+    loop on v5e Mosaic — dynamic lane-slices of the per-tile-written winT
+    scratch defeat the scheduler even though they win in isolation."""
     G = WIN // 128
     for k in range(K):
         ik = lidx_blk[k]                     # (TILE,) int32
         val = ik < INVALID
         ikc = jnp.where(val, ik, 0)
         lo = jnp.broadcast_to((ikc % 128).reshape(1, TILE), (C, TILE))
-        hi = ikc // 128
-        winT = wins_f32[k_class[k]]          # (C, WIN) f32
+        hi = jnp.where(val, ikc // 128, G)   # invalid -> no group matches
+        cls = k_class[k]
         acc = jnp.zeros((C, TILE), jnp.float32)
         for g in range(G):
-            part = jnp.take_along_axis(winT[:, g*128:(g+1)*128], lo, axis=1)
+            part = jnp.take_along_axis(winT_ref[cls, :, g*128:(g+1)*128],
+                                       lo, axis=1)
             sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (C, TILE))
             acc = jnp.where(sel, part, acc)
-        acc = acc * jnp.broadcast_to(val.reshape(1, TILE), (C, TILE))
         stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
 
 
-def _load_windows(ws_ref, t, x_hbm, win_scratch, sems, C, dtype):
-    """Start + wait the three window DMAs for tile t; return f32 transposed
-    windows."""
+def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems):
+    """Start + wait the three window DMAs for tile t; write f32 transposed
+    windows into the winT scratch ref (refs support the dynamic group-base
+    slicing the fast-path gather needs).
+
+    ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands are
+    lane-padded to 128 in SMEM and blow the 1MB budget."""
     cps = []
     for c in range(NCLASS):
-        # ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands
-        # are lane-padded to 128 in SMEM and blow the 1MB budget
         start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
         cp = pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, WIN)], win_scratch.at[c], sems.at[c])
         cp.start()
         cps.append(cp)
-    outs = []
     for c in range(NCLASS):
         cps[c].wait()
-        outs.append(win_scratch[c].T.astype(jnp.float32))
-    return outs
+        winT_ref[c] = win_scratch[c].T.astype(jnp.float32)
 
 
 def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
     k_class = tuple(int(v) for v in k_class)
 
-    def kernel(ws_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, stack, sems):
+    def kernel(ws_ref, g0_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, winT,
+               stack, sems):
         t = pl.program_id(0)
-        wins = _load_windows(ws_ref, t, x_hbm, win, sems, C, jnp.bfloat16)
-        _gather_stack(lidx_ref[0], wins, k_class, K, C, stack)
+        _load_windows(ws_ref, t, x_hbm, win, winT, sems)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Cout, TILE) output transpose is cheap
@@ -171,30 +192,31 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
             preferred_element_type=jnp.float32)
         out_ref[...] = o.T.astype(jnp.bfloat16)
 
-    def call(x, wT, win_start, lidx):
+    def call(x, wT, win_start, g0pack, lidx):
         cap = x.shape[0]
         ntiles = cap // TILE
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(ntiles,),
                 in_specs=[
-                    pl.BlockSpec((1, K, TILE), lambda t, ws: (t, 0, 0),
+                    pl.BlockSpec((1, K, TILE), lambda t, ws, g0: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws: (t, 0),
+                out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws, g0: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     pltpu.VMEM((NCLASS, WIN, C), jnp.bfloat16),
+                    pltpu.VMEM((NCLASS, C, WIN), jnp.float32),
                     pltpu.VMEM((K * C, TILE), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((NCLASS,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((cap, Cout), jnp.bfloat16),
-        )(win_start.reshape(-1), lidx, x, wT)
+        )(win_start.reshape(-1), g0pack.reshape(-1), lidx, x, wT)
 
     return call
 
@@ -204,16 +226,16 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
     dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout)."""
     k_class = tuple(int(v) for v in k_class)
 
-    def kernel(ws_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref, dw_ref,
-               win, stack, acc, sems):
+    def kernel(ws_ref, g0_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref,
+               dw_ref, win, winT, stack, acc, sems):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        wins = _load_windows(ws_ref, t, g_hbm, win, sems, Cout, jnp.bfloat16)
-        _gather_stack(lidx_ref[0], wins, k_class, K, Cout, stack)
+        _load_windows(ws_ref, t, g_hbm, win, winT, sems)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, Cout, stack)
         # canonical orientations (see fwd kernel note)
         dxT = jax.lax.dot_general(
             wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
@@ -228,29 +250,30 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
         def _():
             dw_ref[...] = acc[...]
 
-    def call(x, g, wflipT, win_start, lidx):
+    def call(x, g, wflipT, win_start, g0pack, lidx):
         cap = x.shape[0]
         ntiles = cap // TILE
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(ntiles,),
                 in_specs=[
-                    pl.BlockSpec((1, K, TILE), lambda t, ws: (t, 0, 0),
+                    pl.BlockSpec((1, K, TILE), lambda t, ws, g0: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((TILE, C), lambda t, ws: (t, 0),
+                    pl.BlockSpec((TILE, C), lambda t, ws, g0: (t, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((TILE, C), lambda t, ws: (t, 0),
+                    pl.BlockSpec((TILE, C), lambda t, ws, g0: (t, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((NCLASS, WIN, Cout), jnp.bfloat16),
+                    pltpu.VMEM((NCLASS, Cout, WIN), jnp.float32),
                     pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, C), jnp.float32),
                     pltpu.SemaphoreType.DMA((NCLASS,)),
@@ -260,7 +283,7 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
                 jax.ShapeDtypeStruct((cap, C), jnp.bfloat16),
                 jax.ShapeDtypeStruct((K * Cout, C), jnp.float32),
             ],
-        )(win_start.reshape(-1), lidx, x, g, wflipT)
+        )(win_start.reshape(-1), g0pack.reshape(-1), lidx, x, g, wflipT)
 
     return call
 
@@ -306,7 +329,7 @@ def _static_k_class(K: int):
 
 
 @jax.custom_vjp
-def windowed_sparse_conv(x, w, flip_perm, win_start, lidx,
+def windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
                          spill_tiles, spill_fwd):
     """Drop-in stride-1 stencil conv using the windowed Pallas kernels.
 
@@ -322,21 +345,23 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, lidx,
     wp = jnp.pad(w, ((0, 0), (0, Cp - C), (0, Coutp - Cout)))
     wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cp).astype(jnp.bfloat16)
     call = _fwd_cached(K, Cp, Coutp, _static_k_class(K))
-    out = call(xp, wT, win_start, lidx)[:, :Cout]
+    out = call(xp, wT, win_start, g0pack, lidx)[:, :Cout]
     rows = _spill_rows(spill_tiles)
     valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
     sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w, spill_fwd, valid)
     return out.at[rows].add(sp.astype(out.dtype))
 
 
-def _wconv_fwd(x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd):
-    out = windowed_sparse_conv(x, w, flip_perm, win_start, lidx,
+def _wconv_fwd(x, w, flip_perm, win_start, g0pack, lidx, spill_tiles,
+               spill_fwd):
+    out = windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
                                spill_tiles, spill_fwd)
-    return out, (x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd)
+    return out, (x, w, flip_perm, win_start, g0pack, lidx, spill_tiles,
+                 spill_fwd)
 
 
 def _wconv_bwd(res, g):
-    x, w, flip_perm, win_start, lidx, spill_tiles, spill_fwd = res
+    x, w, flip_perm, win_start, g0pack, lidx, spill_tiles, spill_fwd = res
     K, C, Cout = w.shape
     Cp, Coutp = _pad128(C), _pad128(Cout)
     w_flip = jnp.take(w, flip_perm, axis=0)
@@ -348,7 +373,8 @@ def _wconv_bwd(res, g):
     xb = x.astype(jnp.bfloat16)
     gp = jnp.pad(gb, ((0, 0), (0, Coutp - Cout)))
     xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
-    dx_p, dw_acc = call(xpad, gp, wflipT.astype(jnp.bfloat16), win_start, lidx)
+    dx_p, dw_acc = call(xpad, gp, wflipT.astype(jnp.bfloat16), win_start,
+                        g0pack, lidx)
     dx = dx_p[:, :C]
     # dw_acc[k*Coutp+o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
     dw_flip = jnp.transpose(
@@ -371,7 +397,7 @@ def _wconv_bwd(res, g):
     dw_flip = dw_flip + dw_sp_flip
     dw = jnp.take(dw_flip, flip_perm, axis=0)
     return (dx.astype(x.dtype), dw.astype(w.dtype), None, None, None, None,
-            None)
+            None, None)
 
 
 windowed_sparse_conv.defvjp(_wconv_fwd, _wconv_bwd)
