@@ -106,10 +106,23 @@ def assemble_distill_batch(samples: Sequence[SceneSample], dim: int,
 
 def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,
                         caps: Optional[GeometryCaps] = None,
-                        point_cap: Optional[int] = None) -> EvalBatch:
+                        point_cap: Optional[int] = None,
+                        need_model: bool = True) -> EvalBatch:
+    """``need_model=False`` (fusion-mode eval) skips kernel-map construction
+    entirely — only the level-0 padding/reconstruction is needed."""
+    from ..sparse.geometry import _pad_level
+    from ..sparse.types import UNetGeometry
+
     coords, perm, inv, offs = _concat_sort(samples, None)
     n = len(coords)
-    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    if need_model:
+        geo = build_unet_geometry(coords,
+                                  caps=caps or GeometryCaps.for_count(n))
+    else:
+        caps = caps or GeometryCaps.for_count(n)
+        level0 = _pad_level(coords, caps.cap_for(0, n))
+        geo = UNetGeometry(levels=(level0,), stem=None, self3=(),
+                           down=(), wplans=())
     cap0 = geo.levels[0].cap
 
     feats = np.zeros((cap0, 3), dtype=np.float32)

@@ -57,7 +57,12 @@ def make_scene(seed: int, num_classes: int = 20,
         box_labels = [int(rng.integers(2, num_classes))
                       for _ in range(int(rng.integers(3, 8)))]
     for label in box_labels:
-        size = rng.uniform(0.3, 1.2, 3) * [1, 1, 0.8]
+        # class-coded box geometry (footprint/height encode the label) so a
+        # geometry-only model CAN learn classes — otherwise distillation from
+        # constant input features has nothing to generalize from
+        base = 0.25 + 0.05 * label
+        size = np.array([base, base * (1.3 if label % 2 else 0.7),
+                         0.2 + 0.09 * label]) * rng.uniform(0.95, 1.05, 3)
         pos = rng.uniform(0.2, 0.8, 3) * [ex, ey, 0]
         for d in range(3):  # top + 4 sides of the box
             for s in (0, 1):

@@ -139,7 +139,8 @@ class ZeroShotEvaluator:
             t0 = time.time()
             for i in range(n_scenes):
                 sample = loader.get(i)
-                batch = assemble_eval_batch([sample], self.dim)
+                batch = assemble_eval_batch(
+                    [sample], self.dim, need_model=self.mode != "fusion")
                 logits, pmask = self.step(self.params, self.state, self.text,
                                           batch)
                 n_pts = batch.num_points
