@@ -26,7 +26,11 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 2.0e6  # documented estimate, see module docstring
 
 
-def build_batch(n_scenes=8, dim=768, voxel=0.02, density=4000.0):
+def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
+    # density tuned so the 8-scene batch lands at ~1.0M voxels: the full
+    # train step (768-d distill targets + activations + grads) needs ~10GB
+    # program HBM at that size; ~1.5M voxel caps sit exactly at the 16GB
+    # v5e limit and OOM
     from openscene_tpu.data.loaders import SceneSample, align_fused_features
     from openscene_tpu.data.synthetic import make_fused_features, make_scene
     from openscene_tpu.data.voxelizer import Voxelizer
