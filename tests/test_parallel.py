@@ -1,0 +1,65 @@
+"""Data-parallel training: the shard_map step must match single-device math.
+
+With the same global batch split across 2 devices and pmean'd gradients, the
+sharded step's loss must equal the mean of per-device losses, and parameters
+must stay replica-identical."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openscene_tpu.config import Config
+from openscene_tpu.data.sharded import assemble_sharded_distill_batches
+from openscene_tpu.models import init_unet
+from openscene_tpu.parallel.mesh import get_mesh, replicate, shard_batch
+from openscene_tpu.runtime.distill import make_optimizer, make_train_step
+
+from __graft_entry__ import _synthetic_batch
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_sharded_step_matches_per_device_mean():
+    n_dev = 2
+    dim = 32
+    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine")
+    rng = np.random.default_rng(0)
+    per_dev = [_synthetic_batch(n_points=3000, dim=dim, seed=5 + d,
+                                voxel=0.1, rng=np.random.default_rng(d))
+               for d in range(n_dev)]
+    batches, caps = assemble_sharded_distill_batches(
+        per_dev, dim, rng=np.random.default_rng(1))
+
+    params, state = init_unet(jax.random.PRNGKey(0), 3, dim,
+                              arch="MinkUNet14A")
+    opt, _ = make_optimizer(cfg, max_iter=100)
+    opt_state = opt.init(params)
+
+    # single-device losses on each sub-batch (pre-update params)
+    single = make_train_step(cfg, opt)
+    losses = []
+    for d in range(n_dev):
+        sub = jax.tree_util.tree_map(lambda x: x[d], batches)
+        # fresh leaf copies: the jitted step donates its params/state args
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        _, _, _, l = single(copy(params), copy(state), opt.init(params), sub)
+        losses.append(float(l))
+
+    mesh = get_mesh(data=n_dev, model=1, devices=jax.devices()[:n_dev])
+    sharded = make_train_step(cfg, opt, mesh=mesh)
+    p = replicate(mesh, params)
+    s = replicate(mesh, state)
+    o = replicate(mesh, opt_state)
+    b = shard_batch(mesh, batches)
+    new_p, new_s, new_o, loss = sharded(p, s, o, b)
+
+    assert float(loss) == pytest.approx(np.mean(losses), rel=1e-5)
+    # params remain replica-consistent (fully replicated output sharding)
+    leaf = jax.tree_util.tree_leaves(new_p)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_mesh_shapes():
+    mesh = get_mesh(data=4, model=2, devices=jax.devices()[:8])
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "model")
