@@ -97,6 +97,8 @@ class Config:
     text_embedding_cache: str = "saved_text_embeddings"
     embedding_file: str = ""  # explicit text-embedding file (.npy/.npz/.pt)
     allow_pseudo_text: bool = False  # hash-seeded pseudo embeddings (tests)
+    memory_efficient_loss: bool = False  # algebraic-head cosine loss: ~1.5x
+    # larger voxel caps when HBM-bound, ~25% slower step
 
     def copy(self, **updates: Any) -> "Config":
         return dataclasses.replace(self, **updates)

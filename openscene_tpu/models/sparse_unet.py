@@ -234,7 +234,8 @@ def _renest_stage(stage_dict, n):
 
 
 def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
-               train: bool = False, constant_input: bool = False):
+               train: bool = False, constant_input: bool = False,
+               return_prehead: bool = False):
     """Forward pass. x: (cap0, in_ch) activations (compute dtype).
 
     Returns (out, new_state) with out: (cap0, out_ch) fp32 feature matrix
@@ -291,7 +292,11 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
                            out, geo.self3[lvl], _wplan(geo, lvl), masks[lvl],
                            nums[lvl], train, ns, f"block{i + 1}", block)
 
-    out = _conv1x1(out, params["final"]).astype(jnp.float32)
+    if not return_prehead:
+        out = _conv1x1(out, params["final"]).astype(jnp.float32)
+    # return_prehead: callers that only need head-projected INNER PRODUCTS
+    # (the cosine distill loss) can avoid materializing the (cap, 768)
+    # output entirely — see runtime/distill.py:cosine_head_loss
 
     nested = _nest(ns)
     new_state = dict(state)
