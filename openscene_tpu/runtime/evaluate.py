@@ -162,6 +162,11 @@ class ZeroShotEvaluator:
             log.info("repeat %d/%d: %d scenes in %.1fs", rep + 1,
                      cfg.test_repeats, n_scenes, time.time() - t0)
 
+            if not cfg.eval_iou:
+                # no-GT datasets (Replica): feature export / viz only
+                results["miou"] = float("nan")
+                return results
+
             gt = np.concatenate(gts)
             mask = np.concatenate(masks)
             pred_logits = preds
