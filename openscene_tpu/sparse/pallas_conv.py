@@ -105,7 +105,9 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))          # (ntiles,)
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
-        start = np.minimum((mn // 16) * 16, cap - WIN)
+        # 64-aligned so packed slab starts (start*C/128) stay
+        # 16-row aligned for every supported channel width
+        start = np.minimum((mn // 64) * 64, cap - WIN)
         win_start[:, c] = start
         mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
         bad |= (mx - start) >= WIN
@@ -132,7 +134,7 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
 
 
 def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
-                  out_dtype=jnp.bfloat16):
+                  P: int = 1, out_dtype=jnp.bfloat16):
     """Crossbar-gather every offset's (C, TILE) columns into stack_ref.
 
     Missing-neighbor validity is folded into the group selects (the sentinel
@@ -145,6 +147,10 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
         ik = lidx_blk[k]                     # (TILE,) int32
         val = ik < INVALID
         ikc = jnp.where(val, ik, 0)
+        if P > 1:
+            # phase-packed window layout for C < 128 (see _load_windows):
+            # window row r lives at packed position (r%P)*(WIN/P) + r//P
+            ikc = (ikc % P) * (WIN // P) + ikc // P
         lo = jnp.broadcast_to((ikc % 128).reshape(1, TILE), (C, TILE))
         hi = jnp.where(val, ikc // 128, G)   # invalid -> no group matches
         cls = k_class[k]
@@ -157,33 +163,52 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
         stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
 
 
-def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems):
+def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1):
     """Start + wait the three window DMAs for tile t; write f32 transposed
     windows into the winT scratch ref (refs support the dynamic group-base
     slicing the fast-path gather needs).
+
+    For C < 128 (P = 128/C phases) the caller passes x RESHAPED to
+    (cap*C/128, 128) — Mosaic requires 128-lane DMA slabs — and the window
+    lands phase-packed: winT[c, p*(WIN/P) + q] = x[start + P*q + p, c]
+    (_gather_stack translates indices accordingly). For C >= 128 the slab is
+    the raw (WIN, C) row range.
 
     ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands are
     lane-padded to 128 in SMEM and blow the 1MB budget."""
     cps = []
     for c in range(NCLASS):
-        start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, WIN)], win_scratch.at[c], sems.at[c])
+        if P > 1:
+            start = pl.multiple_of(ws_ref[t * NCLASS + c] // P, 16)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, WIN // P)], win_scratch.at[c],
+                sems.at[c])
+        else:
+            start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, WIN)], win_scratch.at[c], sems.at[c])
         cp.start()
         cps.append(cp)
     for c in range(NCLASS):
         cps[c].wait()
-        winT_ref[c] = win_scratch[c].T.astype(jnp.float32)
+        if P > 1:
+            T = win_scratch[c].T.astype(jnp.float32)  # (128, WIN/P)
+            for p in range(P):
+                winT_ref[c, :, p * (WIN // P):(p + 1) * (WIN // P)] = \
+                    T[p * C:(p + 1) * C, :]
+        else:
+            winT_ref[c] = win_scratch[c].T.astype(jnp.float32)
 
 
-def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
+def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
+                    P: int = 1):
     k_class = tuple(int(v) for v in k_class)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, winT,
                stack, sems):
         t = pl.program_id(0)
-        _load_windows(ws_ref, t, x_hbm, win, winT, sems)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack)
+        _load_windows(ws_ref, t, x_hbm, win, winT, sems, C, P)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack, P)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Cout, TILE) output transpose is cheap
@@ -193,8 +218,8 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
         out_ref[...] = o.T.astype(jnp.bfloat16)
 
     def call(x, wT, win_start, g0pack, lidx):
-        cap = x.shape[0]
-        ntiles = cap // TILE
+        ntiles = lidx.shape[0]
+        cap = ntiles * TILE
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -209,7 +234,8 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
                 out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws, g0: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((NCLASS, WIN, C), jnp.bfloat16),
+                    pltpu.VMEM((NCLASS, WIN // P, 128 if P > 1 else C),
+                               jnp.bfloat16),
                     pltpu.VMEM((NCLASS, C, WIN), jnp.float32),
                     pltpu.VMEM((K * C, TILE), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((NCLASS,)),
@@ -221,9 +247,11 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
     return call
 
 
-def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
+def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
+                    P: int = 1):
     """Fused backward: gathers G_k = g[fwd[k]] once per offset and emits
-    dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout)."""
+    dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout).
+    P phases pack the cotangent windows when Cout < 128."""
     k_class = tuple(int(v) for v in k_class)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref,
@@ -234,8 +262,9 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        _load_windows(ws_ref, t, g_hbm, win, winT, sems)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, Cout, stack)
+        _load_windows(ws_ref, t, g_hbm, win, winT, sems, Cout, P)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, Cout, stack,
+                      P)
         # canonical orientations (see fwd kernel note)
         dxT = jax.lax.dot_general(
             wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
@@ -251,7 +280,7 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
             dw_ref[...] = acc[...]
 
     def call(x, g, wflipT, win_start, g0pack, lidx):
-        cap = x.shape[0]
+        cap = x.shape[0]  # x stays (cap, Cp); only g may be phase-reshaped
         ntiles = cap // TILE
         return pl.pallas_call(
             kernel,
@@ -272,7 +301,8 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((NCLASS, WIN, Cout), jnp.bfloat16),
+                    pltpu.VMEM((NCLASS, WIN // P, 128 if P > 1 else Cout),
+                               jnp.bfloat16),
                     pltpu.VMEM((NCLASS, Cout, WIN), jnp.float32),
                     pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, C), jnp.float32),
@@ -289,13 +319,13 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...]):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cached(K, C, Cout, k_class):
-    return make_fwd_kernel(K, C, Cout, k_class)
+def _fwd_cached(K, C, Cout, k_class, P=1):
+    return make_fwd_kernel(K, C, Cout, k_class, P)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cached(K, C, Cout, k_class):
-    return make_bwd_kernel(K, C, Cout, k_class)
+def _bwd_cached(K, C, Cout, k_class, P=1):
+    return make_bwd_kernel(K, C, Cout, k_class, P)
 
 
 def _spill_rows(spill_tiles):
@@ -340,12 +370,21 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
     kernel boundary (Mosaic requires 128-lane VMEM buffers).
     """
     K, C, Cout = w.shape
-    Cp, Coutp = _pad128(C), _pad128(Cout)
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Cp - C)))
-    wp = jnp.pad(w, ((0, 0), (0, Cp - C), (0, Coutp - Cout)))
-    wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cp).astype(jnp.bfloat16)
-    call = _fwd_cached(K, Cp, Coutp, _static_k_class(K))
-    out = call(xp, wT, win_start, g0pack, lidx)[:, :Cout]
+    Coutp = _pad128(Cout)
+    if C in (32, 64):
+        # native narrow channels: phase-packed windows (P = 128/C), no
+        # padding waste on the gather side — the level-1/2 convs
+        P = 128 // C
+        Cn = C
+        xn = x.astype(jnp.bfloat16).reshape(-1, 128)
+    else:
+        P = 1
+        Cn = _pad128(C)
+        xn = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Cn - C)))
+    wp = jnp.pad(w, ((0, 0), (0, Cn - C), (0, Coutp - Cout)))
+    wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cn).astype(jnp.bfloat16)
+    call = _fwd_cached(K, Cn, Coutp, _static_k_class(K), P)
+    out = call(xn, wT, win_start, g0pack, lidx)[:, :Cout]
     rows = _spill_rows(spill_tiles)
     valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
     sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w, spill_fwd, valid)
@@ -363,22 +402,29 @@ def _wconv_fwd(x, w, flip_perm, win_start, g0pack, lidx, spill_tiles,
 def _wconv_bwd(res, g):
     x, w, flip_perm, win_start, g0pack, lidx, spill_tiles, spill_fwd = res
     K, C, Cout = w.shape
-    Cp, Coutp = _pad128(C), _pad128(Cout)
-    w_flip = jnp.take(w, flip_perm, axis=0)
-    # padded w_flip_t (Cp, K*Coutp): row c, col k*Coutp+o = W[flip(k), c, o]
-    w_flip_p = jnp.pad(w_flip, ((0, 0), (0, Cp - C), (0, Coutp - Cout)))
-    wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Coutp)
-    call = _bwd_cached(K, Cp, Coutp, _static_k_class(K))
+    Cp = _pad128(C)  # x-side stays padded (x_blk block input, dx out)
     gb = g.astype(jnp.bfloat16)
+    if Cout in (32, 64):
+        P = 128 // Cout
+        Con = Cout
+        gn = gb.reshape(-1, 128)  # phase-packed cotangent windows
+    else:
+        P = 1
+        Con = _pad128(Cout)
+        gn = jnp.pad(gb, ((0, 0), (0, Con - Cout)))
+    w_flip = jnp.take(w, flip_perm, axis=0)
+    # w_flip_t (Cp, K*Con): row c, col k*Con+o = W[flip(k), c, o]
+    w_flip_p = jnp.pad(w_flip, ((0, 0), (0, Cp - C), (0, Con - Cout)))
+    wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Con)
+    call = _bwd_cached(K, Cp, Con, _static_k_class(K), P)
     xb = x.astype(jnp.bfloat16)
-    gp = jnp.pad(gb, ((0, 0), (0, Coutp - Cout)))
     xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
-    dx_p, dw_acc = call(xpad, gp, wflipT.astype(jnp.bfloat16), win_start,
+    dx_p, dw_acc = call(xpad, gn, wflipT.astype(jnp.bfloat16), win_start,
                         g0pack, lidx)
     dx = dx_p[:, :C]
-    # dw_acc[k*Coutp+o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
+    # dw_acc[k*Con+o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
     dw_flip = jnp.transpose(
-        dw_acc.reshape(K, Coutp, Cp), (0, 2, 1))[:, :C, :Cout]
+        dw_acc.reshape(K, Con, Cp), (0, 2, 1))[:, :C, :Cout]
 
     # --- spill corrections (additive; kernel contributed zero there) ---
     rows = _spill_rows(spill_tiles)
