@@ -7,19 +7,61 @@ silently to the NumPy builder when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
-import os
 import subprocess
-from os.path import dirname, exists, getmtime, join
+import sys
+from os.path import dirname, exists, join
 
 import numpy as np
 
 log = logging.getLogger(__name__)
 
 _SRC = join(dirname(__file__), "csrc", "kernel_map.cpp")
-_LIB = join(dirname(__file__), "csrc", "_kernel_map.so")
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    """Shared-object path keyed by source content hash.
+
+    Content (not mtime) keying: on a fresh checkout every mtime equals
+    checkout time, so an mtime test could accept a stale/foreign binary.
+    A hash-named artifact can only ever be one this source produced.
+    """
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return join(dirname(_SRC), f"_kernel_map_{h}.so")
+
+
+def _self_test(lib_path: str) -> bool:
+    """Run a tiny build_self_plan in a subprocess so an ISA mismatch
+    (SIGILL from a binary built with -march=native on another host) kills
+    the child, not us. Cached via a .ok marker next to the artifact."""
+    marker = lib_path + ".ok"
+    if exists(marker):
+        return True
+    code = (
+        "import ctypes, numpy as np\n"
+        f"lib = ctypes.CDLL({lib_path!r})\n"
+        "i32p = np.ctypeslib.ndpointer(np.int32, flags='C_CONTIGUOUS')\n"
+        "lib.build_self_plan.argtypes = [i32p, ctypes.c_int64,"
+        " ctypes.c_int64, i32p, ctypes.c_int64, i32p]\n"
+        "coords = np.array([[0,0,0,0],[0,0,0,1]], dtype=np.int32)\n"
+        "offs = np.array([[0,0,-1],[0,0,0],[0,0,1]], dtype=np.int32)\n"
+        "fwd = np.full((3, 4), 3, dtype=np.int32)\n"
+        "lib.build_self_plan(coords, 2, 4, offs, 3, fwd)\n"
+        "assert fwd[1, 0] == 0 and fwd[1, 1] == 1, fwd\n"
+        "assert fwd[2, 0] == 1 and fwd[0, 1] == 0, fwd\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True)
+    if proc.returncode != 0:
+        log.warning("native builder self-test failed (rc=%d): %s",
+                    proc.returncode, proc.stderr.decode(errors="replace"))
+        return False
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return True
 
 
 def _load():
@@ -28,12 +70,16 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not exists(_LIB) or getmtime(_LIB) < getmtime(_SRC):
+        lib_file = _lib_path()
+        if not exists(lib_file):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB, _SRC],
+                 "-o", lib_file, _SRC],
                 check=True, capture_output=True)
-        lib = ctypes.CDLL(_LIB)
+        if not _self_test(lib_file):
+            _lib = None
+            return None
+        lib = ctypes.CDLL(lib_file)
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.build_self_plan.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                         i32p, ctypes.c_int64, i32p]
