@@ -23,7 +23,7 @@ import numpy as np
 
 def heat_colors(sim: np.ndarray) -> np.ndarray:
     """Similarity -> blue..red heat colormap in [0,1]."""
-    s = (sim - sim.min()) / (sim.ptp() + 1e-9)
+    s = (sim - sim.min()) / (np.ptp(sim) + 1e-9)
     return np.stack([s, 0.2 + 0.3 * s * (1 - s), 1.0 - s], axis=1)
 
 

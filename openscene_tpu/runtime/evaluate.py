@@ -48,8 +48,15 @@ log = get_logger()
 
 
 def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
-                   constant_input: bool = True):
-    """Build the jitted per-batch step: -> (point_logits, point_feat_mask)."""
+                   constant_input: bool = True, return_features: bool = False):
+    """Build the jitted per-batch step.
+
+    Returns (point_logits, point_feat_mask[, point_features]); the optional
+    third output is the per-point feature matrix the reference saves with
+    ``save_feature_as_numpy`` (model output for distill, fused feature for
+    fusion, the blended ``feat_ensemble`` for ensemble —
+    run/evaluate.py:288-331) — only materialized when requested, to keep the
+    (N, 768) device->host transfer off the plain eval path."""
 
     @jax.jit
     def step(params, state, text, batch: EvalBatch):
@@ -64,8 +71,10 @@ def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
 
         fused = jnp.asarray(batch.feat_3d)
         if mode == "distill":
-            pred_v = model_features() @ text_t
+            feat_v = model_features()
+            pred_v = feat_v @ text_t
         elif mode == "fusion":
+            feat_v = fused
             pred_v = fused @ text_t
         elif mode == "ensemble":
             out = model_features()
@@ -73,14 +82,16 @@ def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
             logit_d = nrm(out) @ text_t
             logit_f = nrm(fused) @ text_t
             use_fusion = logit_d.max(-1) < logit_f.max(-1)
-            chosen = jnp.where(use_fusion[:, None], fused, out)
-            pred_v = chosen @ text_t
+            feat_v = jnp.where(use_fusion[:, None], fused, out)
+            pred_v = feat_v @ text_t
         else:
             raise NotImplementedError(mode)
 
         inds = jnp.asarray(batch.inds_reconstruct)
         point_logits = jnp.take(pred_v, inds, axis=0)
         point_mask = jnp.take(jnp.asarray(batch.mask), inds, axis=0)
+        if return_features:
+            return point_logits, point_mask, jnp.take(feat_v, inds, axis=0)
         return point_logits, point_mask
 
     return step
@@ -132,6 +143,13 @@ class ZeroShotEvaluator:
         store: Optional[List[np.ndarray]] = None
         rng = np.random.default_rng(cfg.manual_seed)
 
+        step = self.step
+        if save_features_to:
+            step = make_eval_step(self.mode, cfg.arch_3d,
+                                  constant_input=not cfg.input_color,
+                                  return_features=True)
+            os.makedirs(save_features_to, exist_ok=True)
+
         for rep in range(cfg.test_repeats):
             if rep > 0:
                 loader.reseed(int(rng.integers(10000)))
@@ -141,21 +159,27 @@ class ZeroShotEvaluator:
                 sample = loader.get(i)
                 batch = assemble_eval_batch(
                     [sample], self.dim, need_model=self.mode != "fusion")
-                logits, pmask = self.step(self.params, self.state, self.text,
-                                          batch)
+                out = step(self.params, self.state, self.text, batch)
+                logits, pmask = out[0], out[1]
                 n_pts = batch.num_points
                 logits = np.asarray(logits[:n_pts], dtype=np.float32)
                 pmask = np.asarray(pmask[:n_pts]) > 0.5
                 label = np.asarray(batch.labels[:n_pts])
+                if save_features_to and rep == 0:
+                    # per-point FEATURE dump (reference run/evaluate.py:302-331:
+                    # model output / fused feature / blended feat_ensemble),
+                    # saved before any nuScenes point subsetting, named by
+                    # scene (run/evaluate.py:329)
+                    scene_name = os.path.basename(
+                        str(loader.data_paths[i])).rsplit(".", 1)[0]
+                    feat_dtype = (np.float32 if self.mode == "distill"
+                                  else np.float16)
+                    np.save(join(save_features_to,
+                                 f"{scene_name}_openscene_feat_{self.mode}.npy"),
+                            np.asarray(out[2][:n_pts], dtype=feat_dtype))
                 if is_nuscenes:  # evaluation points are a labeled subset
                     keep = label != 255
                     label, logits, pmask = label[keep], logits[keep], pmask[keep]
-                if save_features_to and rep == 0:
-                    # per-scene feature dump for the interactive demo
-                    os.makedirs(save_features_to, exist_ok=True)
-                    np.save(join(save_features_to,
-                                 f"scene{i}_openscene_feat_{self.mode}.npy"),
-                            logits)
                 preds.append(logits.astype(np.float32))
                 gts.append(label)
                 masks.append(pmask)

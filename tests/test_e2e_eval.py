@@ -59,6 +59,45 @@ def test_fusion_eval_repeats_protocol(synth_root):
     assert results["accumulated"] > 0.75
 
 
+def test_feature_dump_feeds_demo_query(tmp_path, monkeypatch):
+    """save_feature_as_numpy must save per-point FEATURES (not text logits)
+    under {scene_name}_openscene_feat_{type}.npy (run/evaluate.py:302-331),
+    and demo/query.py must run off the dump end to end."""
+    import os
+    import runpy
+    import sys
+    from os.path import dirname, join
+
+    d3, dfeat = build_synthetic_dataset(
+        str(tmp_path / "synth768"), n_train=1, n_val=1, dim=768,
+        density=300.0)
+    cfg = make_cfg(d3, dfeat)
+    text = class_prototypes(20, 768)
+    ev = ZeroShotEvaluator(cfg, text_features=text)
+    out_dir = str(tmp_path / "feat")
+    ev.run(save_features_to=out_dir)
+
+    dumps = sorted(os.listdir(out_dir))
+    assert dumps == ["scene0001_00_openscene_feat_fusion.npy"], dumps
+    feats = np.load(join(out_dir, dumps[0]))
+    scene_file = join(d3, "val", "scene0001_00.npz")
+    n_points = len(np.load(scene_file)["coords"])
+    assert feats.shape == (n_points, 768), feats.shape  # features, not logits
+    assert feats.dtype == np.float16
+
+    out_ply = str(tmp_path / "heat.ply")
+    sim_file = str(tmp_path / "sim.npy")
+    monkeypatch.setattr(sys, "argv", [
+        "query.py", "--features", join(out_dir, dumps[0]),
+        "--points", scene_file, "--query", "a sofa in a scene",
+        "--out", out_ply, "--save_sim", sim_file, "--allow_pseudo_text"])
+    repo = dirname(dirname(os.path.abspath(__file__)))
+    runpy.run_path(join(repo, "demo", "query.py"), run_name="__main__")
+    assert os.path.exists(out_ply)
+    sim = np.load(sim_file)
+    assert sim.shape == (n_points,) and np.isfinite(sim).all()
+
+
 def test_fusion_eval_marks_no_feature_points(synth_root):
     d3, dfeat = synth_root
     cfg = make_cfg(d3, dfeat)
