@@ -14,13 +14,33 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from ..sparse.geometry import GeometryCaps
+from ..sparse.geometry import GeometryCaps, _bucket
 from .batch import DistillBatch, assemble_distill_batch
 from .loaders import SceneSample
 
 
 def stack_batches(batches: Sequence):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def fixed_caps_from_counts(counts_per_level: Sequence[int],
+                           margin: float = 0.06,
+                           extra: int = 32) -> GeometryCaps:
+    """Bucketed per-level caps with headroom over observed counts.
+
+    The margin covers count drift the calibration pass cannot see — the
+    per-batch random global coordinate shift changes coarse-level voxel
+    counts (floor(c/2) grouping depends on shift parity), typically by a
+    few percent."""
+    fixed = tuple(_bucket(int(n * (1.0 + margin)) + extra)
+                  for n in counts_per_level)
+    return GeometryCaps(cap0=fixed[0], fixed=fixed)
+
+
+def merge_caps(a: GeometryCaps, b: GeometryCaps) -> GeometryCaps:
+    """Elementwise max of two fixed-cap schedules (caps only ever grow)."""
+    fixed = tuple(max(x, y) for x, y in zip(a.fixed, b.fixed))
+    return GeometryCaps(cap0=fixed[0], fixed=fixed)
 
 
 def assemble_sharded_distill_batches(
@@ -33,9 +53,8 @@ def assemble_sharded_distill_batches(
         trial = [assemble_distill_batch(s, dim, rng=np.random.default_rng(0),
                                         shift=False)
                  for s in per_device_samples]
-        fixed = tuple(
-            max(t.geo.levels[l].cap for t in trial) for l in range(5))
-        caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
+        caps = fixed_caps_from_counts(tuple(
+            max(int(t.geo.levels[l].num) for t in trial) for l in range(5)))
     batches = [assemble_distill_batch(s, dim, caps=caps, rng=rng)
                for s in per_device_samples]
     return stack_batches(batches), caps

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 import os
 import sys
+import threading
 import time
 from os.path import isfile, join
 from typing import Dict, Optional, Tuple
@@ -162,15 +163,20 @@ def make_train_step(cfg: Config, opt, mesh=None):
     return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
 
-def make_val_step(cfg: Config):
+def make_val_step(cfg: Config, mesh=None):
     """Per-batch validation: point-level logits vs text + IoU histograms
-    (reference validate(), run/distill.py:403-447)."""
+    (reference validate(), run/distill.py:403-447).
+
+    Under a mesh, each device takes one scene-batch of the stacked input and
+    the loss/histograms are ``psum``-reduced over the ``data`` axis inside
+    the step — the TPU equivalent of the reference's
+    ``dist.all_reduce(intersection/union/target)`` (run/distill.py:429-431).
+    Returns (loss_sum, n_valid_points, inter, union, tgt)."""
     arch = cfg.arch_3d
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     const_in = not cfg.input_color
 
-    @jax.jit
-    def step(params, state, text, batch):
+    def step_core(params, state, text, batch):
         x = batch.feats.astype(cdtype)
         out, _ = apply_unet(params, state, x, batch.geo, arch=arch,
                             train=False, constant_input=const_in)
@@ -184,12 +190,30 @@ def make_val_step(cfg: Config):
         safe = jnp.where(valid, labels, 0)
         ce = -jnp.take_along_axis(logp, safe[:, None].astype(jnp.int32),
                                   axis=1)[:, 0]
-        loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        loss_sum = jnp.sum(ce * valid)
+        n_valid = jnp.sum(valid)
         inter, union, tgt = metrics.intersection_and_union(
             pred, labels, cfg.classes, cfg.ignore_label)
-        return loss, inter, union, tgt
+        return loss_sum, n_valid, inter, union, tgt
 
-    return step
+    if mesh is None:
+        return jax.jit(step_core)
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(params, state, text, batches):
+        def inner(params, state, text, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            out = step_core(params, state, text, batch)
+            return jax.lax.psum(out, "data")
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )(params, state, text, batches)
+
+    return jax.jit(sharded)
 
 
 class DistillTrainer:
@@ -199,6 +223,29 @@ class DistillTrainer:
         key = jax.random.PRNGKey(cfg.manual_seed)
         self.params, self.state = init_unet(key, 3, self.dim, arch=cfg.arch_3d)
 
+        # ---- device mesh (reference DDP engages from the entry point,
+        # run/distill.py:105-150; here cfg.data_parallel picks the 'data'
+        # axis size, -1 = all devices) ----
+        n_dp = cfg.data_parallel
+        if n_dp == -1:
+            # auto: all devices, but never more than one scene per device
+            # (the reference divides the global batch over ranks)
+            n_dp = max(len(jax.devices()) // max(cfg.model_parallel, 1), 1)
+            n_dp = min(n_dp, max(cfg.batch_size, 1))
+        self.mesh = None
+        if n_dp > 1:
+            from ..parallel.mesh import get_mesh
+            self.mesh = get_mesh(data=n_dp, model=cfg.model_parallel)
+            log.info("data-parallel over %d devices (mesh %s)", n_dp,
+                     self.mesh.devices.shape)
+        self.n_dp = max(n_dp, 1)
+        # reference divides the global batch over ranks (run/distill.py:146)
+        self.per_dev_batch = max(cfg.batch_size // self.n_dp, 1)
+        self._train_caps = None
+        self._caps_lock = threading.Lock()
+        self._val_caps = None
+        self._val_point_cap = None
+
         self.train_data = FusedFeatureLoader(
             datapath_prefix=cfg.data_root,
             datapath_prefix_feat=cfg.data_root_2d_fused_feature,
@@ -206,12 +253,12 @@ class DistillTrainer:
             memcache=cfg.use_shm, loop=cfg.loop,
             input_color=cfg.input_color, seed=cfg.manual_seed)
         self.batches_per_epoch = max(
-            len(self.train_data) // cfg.batch_size, 1)
+            len(self.train_data) // (self.per_dev_batch * self.n_dp), 1)
         max_iter = cfg.epochs * self.batches_per_epoch
         self.opt, self.schedule = make_optimizer(cfg, max_iter)
         self.opt_state = self.opt.init(self.params)
-        self.step_fn = make_train_step(cfg, self.opt)
-        self.val_step = make_val_step(cfg)
+        self.step_fn = make_train_step(cfg, self.opt, mesh=self.mesh)
+        self.val_step = make_val_step(cfg, mesh=self.mesh)
         self.rng = np.random.default_rng(cfg.manual_seed)
         self.start_epoch = cfg.start_epoch
         self.best_iou = 0.0
@@ -240,6 +287,37 @@ class DistillTrainer:
             self.best_iou = float(payload.get("best_iou", 0.0))
             self.global_step = self.start_epoch * self.batches_per_epoch
             log.info("resumed from %s (epoch %d)", cfg.resume, self.start_epoch)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.params = replicate(self.mesh, self.params)
+            self.state = replicate(self.mesh, self.state)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+
+    def _build_sharded(self, samples):
+        """Per-device sample lists -> stacked+sharded DistillBatch with a
+        persistent fixed-cap schedule (caps only ever grow; an overflow —
+        e.g. an unusually large batch — re-buckets and recompiles once)."""
+        from ..data.sharded import (assemble_sharded_distill_batches,
+                                    merge_caps)
+        from ..parallel.mesh import shard_batch
+
+        per_dev = [samples[d * self.per_dev_batch:(d + 1) * self.per_dev_batch]
+                   for d in range(self.n_dp)]
+        try:
+            batches, caps = assemble_sharded_distill_batches(
+                per_dev, self.dim, rng=self.rng, caps=self._train_caps)
+        except OverflowError:
+            batches, caps = assemble_sharded_distill_batches(
+                per_dev, self.dim, rng=self.rng, caps=None)
+            with self._caps_lock:
+                caps = (merge_caps(self._train_caps, caps)
+                        if self._train_caps is not None else caps)
+            batches, caps = assemble_sharded_distill_batches(
+                per_dev, self.dim, rng=self.rng, caps=caps)
+            log.info("re-bucketed sharded caps to %s", caps.fixed)
+        with self._caps_lock:
+            self._train_caps = caps
+        return shard_batch(self.mesh, batches)
 
     def _epoch_batches(self):
         """Batches built ``workers`` threads ahead of the device step
@@ -247,14 +325,26 @@ class DistillTrainer:
         from ..data.prefetch import Prefetcher
 
         order = self.rng.permutation(len(self.train_data))
-        bs = self.cfg.batch_size
+        bs = self.per_dev_batch * self.n_dp
 
         def build(i):
             idxs = order[i * bs:(i + 1) * bs]
             samples = [self.train_data.get(j) for j in idxs]
+            if self.mesh is not None:
+                return self._build_sharded(samples)
             return assemble_distill_batch(samples, self.dim, rng=self.rng)
 
-        if self.cfg.workers <= 1:
+        if self.mesh is not None and self._train_caps is None:
+            # calibrate the fixed caps synchronously on the first batch so
+            # prefetch threads never race the initial schedule
+            first = build(0)
+            rest = (build(i) for i in range(1, self.batches_per_epoch))
+            if self.cfg.workers > 1:
+                rest = Prefetcher(build, range(1, self.batches_per_epoch),
+                                  workers=self.cfg.workers)
+            yield first
+            yield from rest
+        elif self.cfg.workers <= 1:
             for i in range(self.batches_per_epoch):
                 yield build(i)
         else:
@@ -287,7 +377,68 @@ class DistillTrainer:
                 writer.add_scalar("loss_train_batch", loss, self.global_step)
         return loss_meter.avg
 
+    def _dummy_val_sample(self):
+        """All-ignore one-voxel scene used to pad the last device group; its
+        255 labels contribute nothing to loss or histograms."""
+        from ..data.loaders import SceneSample
+        return SceneSample(
+            coords=np.zeros((1, 3), dtype=np.int32),
+            feats=np.ones((1, 3), dtype=np.float32),
+            labels=np.full(1, 255, dtype=np.int64),
+            inds_reconstruct=np.zeros(1, dtype=np.int64),
+            feat_3d=None, feat_mask=None)
+
+    def _validate_sharded(self) -> Tuple[float, float, float, float]:
+        """Scenes round-robined over the mesh's data axis; histograms are
+        psum-reduced inside the step (reference dist.all_reduce,
+        run/distill.py:429-431)."""
+        from ..data.sharded import fixed_caps_from_counts, stack_batches
+        from ..parallel.mesh import shard_batch
+        from ..sparse.geometry import _bucket, level_counts
+
+        n = len(self.val_data)
+        if self._val_caps is None:
+            counts = [0] * 5
+            max_pts = 1
+            for i in range(n):
+                s = self.val_data.get(i)
+                c4 = np.concatenate(
+                    [np.zeros((len(s.coords), 1), np.int64),
+                     s.coords.astype(np.int64)], axis=1)
+                for l, c in enumerate(level_counts(c4)):
+                    counts[l] = max(counts[l], c)
+                max_pts = max(max_pts, len(s.labels))
+            self._val_caps = fixed_caps_from_counts(counts, margin=0.02)
+            self._val_point_cap = _bucket(max_pts)
+
+        loss_sum, n_valid = 0.0, 0
+        inter = np.zeros(self.cfg.classes)
+        union = np.zeros(self.cfg.classes)
+        tgt = np.zeros(self.cfg.classes)
+        for g in range(0, n, self.n_dp):
+            group = [self.val_data.get(i) for i in range(g, min(g + self.n_dp, n))]
+            while len(group) < self.n_dp:
+                group.append(self._dummy_val_sample())
+            batches = stack_batches([
+                assemble_seg_batch([s], caps=self._val_caps, eval_all=True,
+                                   point_cap=self._val_point_cap)
+                for s in group])
+            batches = shard_batch(self.mesh, batches)
+            ls, nv, bi, bu, bt = self.val_step(self.params, self.state,
+                                               self.text, batches)
+            loss_sum += float(ls)
+            n_valid += int(nv)
+            inter += np.asarray(bi)
+            union += np.asarray(bu)
+            tgt += np.asarray(bt)
+        miou, macc, allacc = metrics.miou_from_histograms(inter, union, tgt)
+        log.info("Val result (over %d devices): mIoU/mAcc/allAcc "
+                 "%.4f/%.4f/%.4f", self.n_dp, miou, macc, allacc)
+        return loss_sum / max(n_valid, 1), miou, macc, allacc
+
     def validate(self) -> Tuple[float, float, float, float]:
+        if self.mesh is not None:
+            return self._validate_sharded()
         loss_meter = AverageMeter()
         inter = np.zeros(self.cfg.classes)
         union = np.zeros(self.cfg.classes)
@@ -295,9 +446,9 @@ class DistillTrainer:
         for i in range(len(self.val_data)):
             sample = self.val_data.get(i)
             batch = assemble_seg_batch([sample], eval_all=True)
-            l, bi, bu, bt = self.val_step(self.params, self.state, self.text,
-                                          batch)
-            loss_meter.update(float(l))
+            ls, nv, bi, bu, bt = self.val_step(self.params, self.state,
+                                               self.text, batch)
+            loss_meter.update(float(ls) / max(int(nv), 1))
             inter += np.asarray(bi)
             union += np.asarray(bu)
             tgt += np.asarray(bt)

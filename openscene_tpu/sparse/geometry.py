@@ -41,10 +41,30 @@ _FIELD = 16
 def pack_coords(coords: np.ndarray) -> np.ndarray:
     """(N, 4) int coords -> int64 keys. Coords must fit in +-2^14 per axis."""
     c = coords.astype(np.int64)
+    if c.size and (c[:, 1:].min() < -_SHIFT or c[:, 1:].max() >= _SHIFT):
+        raise ValueError(
+            f"coordinate outside the +-2^14 packed-key field (got range "
+            f"[{c[:, 1:].min()}, {c[:, 1:].max()}]); at 2cm voxels that is a "
+            f">327m scene — re-center or coarsen the voxel grid")
     k = c[:, 0]
     for d in range(1, 4):
         k = (k << np.int64(_FIELD)) | (c[:, d] + _SHIFT)
     return k
+
+
+def level_counts(coords: np.ndarray, num_levels: int = 5) -> List[int]:
+    """Unique-voxel count at every stride level, without building any kernel
+    maps (cheap capacity calibration for fixed-cap sharded batches)."""
+    c = np.asarray(coords).astype(np.int64)
+    counts: List[int] = []
+    for l in range(num_levels):
+        _, idx = np.unique(pack_coords(c), return_index=True)
+        counts.append(len(idx))
+        if l < num_levels - 1:
+            c = c[idx]
+            c = np.concatenate([c[:, :1], np.floor_divide(c[:, 1:], 2)],
+                               axis=1)
+    return counts
 
 
 def offset_key_delta(offsets: np.ndarray) -> np.ndarray:

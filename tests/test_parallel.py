@@ -59,6 +59,36 @@ def test_sharded_step_matches_per_device_mean():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cli_data_parallel_training(tmp_path):
+    """CLI-launched data-parallel training: cfg.data_parallel engages the
+    mesh from the entry point (reference DDP, run/distill.py:105-150), runs
+    sharded train steps AND the psum'd sharded validation, checkpoints."""
+    import os
+    import yaml
+    from openscene_tpu.data.synthetic import build_synthetic_dataset
+    from openscene_tpu.runtime import distill
+
+    d3, dfeat = build_synthetic_dataset(str(tmp_path / "synth"), n_train=2,
+                                        n_val=2, dim=768, density=80.0,
+                                        num_rand_file_per_scene=1)
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(yaml.safe_dump({
+        "DATA": {"data_root": d3, "data_root_2d_fused_feature": dfeat,
+                 "feature_2d_extractor": "openseg", "voxel_size": 0.05},
+        "DISTILL": {"arch_3d": "MinkUNet14A", "batch_size": 8, "loop": 4,
+                    "epochs": 1, "workers": 1, "evaluate": True,
+                    "eval_freq": 1, "save_freq": 1, "print_freq": 1,
+                    "manual_seed": 0},
+        "Mesh": {"data_parallel": 8},
+    }))
+    best = distill.main([
+        "--config", str(cfg_file), "save_path", str(tmp_path / "exp"),
+        "allow_pseudo_text", "True"])
+    assert np.isfinite(best) and 0.0 <= best <= 1.0
+    assert os.path.exists(tmp_path / "exp" / "model" / "model_last.ckpt")
+
+
 def test_mesh_shapes():
     mesh = get_mesh(data=4, model=2, devices=jax.devices()[:8])
     assert mesh.devices.shape == (4, 2)
