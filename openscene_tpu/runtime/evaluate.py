@@ -149,14 +149,22 @@ class ZeroShotEvaluator:
                                   constant_input=not cfg.input_color,
                                   return_features=True)
             os.makedirs(save_features_to, exist_ok=True)
+        want_vis = cfg.vis_input or cfg.vis_pred or cfg.vis_gt
+        if want_vis:
+            os.makedirs(cfg.save_folder, exist_ok=True)
 
         for rep in range(cfg.test_repeats):
             if rep > 0:
                 loader.reseed(int(rng.integers(10000)))
             preds, gts, masks = [], [], []
             t0 = time.time()
-            for i in range(n_scenes):
-                sample = loader.get(i)
+            if cfg.test_workers > 1:  # host voxelize/assemble ahead of device
+                from ..data.prefetch import Prefetcher
+                samples = Prefetcher(loader.get, range(n_scenes),
+                                     workers=cfg.test_workers)
+            else:
+                samples = (loader.get(i) for i in range(n_scenes))
+            for i, sample in enumerate(samples):
                 batch = assemble_eval_batch(
                     [sample], self.dim, need_model=self.mode != "fusion")
                 out = step(self.params, self.state, self.text, batch)
@@ -180,6 +188,12 @@ class ZeroShotEvaluator:
                 if is_nuscenes:  # evaluation points are a labeled subset
                     keep = label != 255
                     label, logits, pmask = label[keep], logits[keep], pmask[keep]
+                    if want_vis and rep == 0:
+                        self._visualize(i, sample, logits, label, pmask,
+                                        keep=keep, loader=loader)
+                elif want_vis and rep == 0:
+                    self._visualize(i, sample, logits, label, pmask,
+                                    loader=loader)
                 preds.append(logits.astype(np.float32))
                 gts.append(label)
                 masks.append(pmask)
@@ -212,6 +226,47 @@ class ZeroShotEvaluator:
                 log.info("mIoU=%.4f", cur)
         results["miou"] = results["accumulated"]
         return results
+
+    def _visualize(self, i: int, sample, logits: np.ndarray,
+                   label: np.ndarray, pmask: np.ndarray, keep=None,
+                   loader=None) -> None:
+        """vis_input / vis_pred / vis_gt exports (run/evaluate.py:343-376):
+        per-point clouds at voxel-grid positions, label-palette colored, with
+        legend sidecars; no-feature/ignore points use the 'unlabeled' slot."""
+        from ..utils.viz import (export_labeled_cloud, export_pointcloud,
+                                 visualize_labels)
+        cfg = self.cfg
+        folder = cfg.save_folder
+        unl = len(self.class_labels)  # 'unlabeled' palette slot
+        pcl = np.asarray(sample.coords, dtype=np.float32)[
+            np.asarray(sample.inds_reconstruct)]
+        if keep is not None:
+            pcl = pcl[keep]
+        if cfg.vis_input and loader is not None:
+            from ..data.scene_io import load_scene
+            _, colors, _ = load_scene(str(loader.data_paths[i]))
+            if keep is not None:
+                colors = colors[keep]
+            export_pointcloud(join(folder, f"{i}_input.ply"), pcl,
+                              (np.asarray(colors) + 1) / 2)
+        if cfg.vis_pred:
+            pred = logits.argmax(1)
+            if self.mapper is not None:
+                pred = self.mapper[pred]
+            if self.mark_unknown:
+                pred = np.where(pmask, pred, unl)
+            export_labeled_cloud(join(folder, f"{i}_{self.mode}.ply"), pcl,
+                                 pred, self.palette)
+            visualize_labels(sorted(int(u) for u in np.unique(pred)),
+                             self.labelset_full, self.palette,
+                             join(folder, f"{i}_labels_{self.mode}.jpg"))
+        if cfg.vis_gt:
+            gt = np.where(label == 255, unl, label)
+            export_labeled_cloud(join(folder, f"{i}_gt.ply"), pcl, gt,
+                                 self.palette)
+            visualize_labels(sorted(int(u) for u in np.unique(gt)),
+                             self.labelset_full, self.palette,
+                             join(folder, f"{i}_labels_gt.jpg"))
 
     def _metric(self, logits: np.ndarray, gt: np.ndarray,
                 mask: np.ndarray) -> float:

@@ -76,6 +76,12 @@ def test_distill_loss_decreases_and_checkpoints(synth_small, tmp_path):
     loss_val, miou, macc, allacc = tr.validate()
     assert np.isfinite(loss_val) and 0.0 <= miou <= 1.0
 
+    # epoch-end qualitative dump (run/distill.py:372-398): fused vs pred vs GT
+    result_dir = join(str(tmp_path), "result", "last")
+    assert os.path.exists(join(result_dir, "pred_2.ply"))
+    assert os.path.exists(join(result_dir, "gt_2.ply"))
+    assert os.path.exists(join(result_dir, "openseg_2.ply"))
+
     from openscene_tpu.utils.train_utils import save_checkpoint, load_checkpoint
     path = save_checkpoint({"epoch": 2, "params": tr.params,
                             "state": tr.state, "opt_state": tr.opt_state,

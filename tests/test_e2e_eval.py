@@ -98,6 +98,22 @@ def test_feature_dump_feeds_demo_query(tmp_path, monkeypatch):
     assert sim.shape == (n_points,) and np.isfinite(sim).all()
 
 
+def test_eval_viz_exports(synth_root, tmp_path):
+    """vis_input/vis_pred/vis_gt write palette-colored PLYs + legends
+    (run/evaluate.py:343-376)."""
+    import os
+    d3, dfeat = synth_root
+    cfg = make_cfg(d3, dfeat, vis_input=True, vis_pred=True, vis_gt=True,
+                   save_folder=str(tmp_path / "vis"))
+    ev = ZeroShotEvaluator(cfg, text_features=class_prototypes(20, 96))
+    ev.run()
+    files = set(os.listdir(tmp_path / "vis"))
+    for i in range(2):  # two val scenes
+        assert {f"{i}_input.ply", f"{i}_fusion.ply", f"{i}_gt.ply",
+                f"{i}_labels_fusion.jpg.txt",
+                f"{i}_labels_gt.jpg.txt"} <= files, files
+
+
 def test_fusion_eval_marks_no_feature_points(synth_root):
     d3, dfeat = synth_root
     cfg = make_cfg(d3, dfeat)
