@@ -96,33 +96,50 @@ def matterport_region_views(building_2d_dir: str, locs: np.ndarray,
     views = []
     for i in inside:
         name, intr, pose = cams[i]
-        depth_path = join(building_2d_dir, "depth", name + ".png")
+        # Matterport depth images are named {pano}_dT_Y.png for color
+        # {pano}_iT_Y.jpg (preprocess/matterport_2d.py:depth_name_for)
+        pano, img_type, yaw = name.split("_")
+        depth_path = join(building_2d_dir, "depth",
+                          f"{pano}_d{img_type[1]}_{yaw}.png")
+        if not os.path.exists(depth_path):  # legacy same-stem naming
+            depth_path = join(building_2d_dir, "depth", name + ".png")
         depth = (_load_depth(depth_path, spec.depth_scale)
                  if os.path.exists(depth_path) else None)
         views.append((name, pose, intr[:3, :3], depth))
     return views
 
 
-NUSCENES_CAMERAS = ("CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
-                    "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT")
+NUSCENES_CAMERAS = ("back", "back_left", "back_right",
+                    "front", "front_left", "front_right")
 
 
 def nuscenes_views(scene_2d_dir: str):
-    """6 fixed cameras x keyframes; poses/intrinsics exported per camera;
-    no depth -> front-facing occlusion only."""
+    """6 fixed cameras, ONE keyframe each (the preprocessor exports the last
+    timestamp only): ``pose/{cam}.npy`` + ``K/{cam}.npy`` — the layout of
+    preprocess/nuscenes_2d.py and the reference fusion driver
+    (scripts/feature_fusion/nuscenes_openseg.py:57-75). No depth ->
+    front-facing occlusion only."""
     for cam in NUSCENES_CAMERAS:
-        cam_dir = join(scene_2d_dir, cam)
-        for pose_path in sorted(glob(join(cam_dir, "pose", "*.txt"))):
-            name = basename(pose_path)[:-4]
-            pose = np.loadtxt(pose_path)
-            intr = np.loadtxt(join(cam_dir, "intrinsic", name + ".txt"))
-            yield f"{cam}_{name}", pose, intr[:3, :3], None
+        pose_path = join(scene_2d_dir, "pose", cam + ".npy")
+        if not os.path.exists(pose_path):
+            continue
+        pose = np.load(pose_path)
+        intr = np.load(join(scene_2d_dir, "K", cam + ".npy"))
+        yield cam, pose, intr[:3, :3], None
 
 
-def replica_views(scene_2d_dir: str, spec: FusionSpec, every: int = 10):
-    """Global intrinsics file + traj poses, every k-th RGB-D frame."""
-    intr = np.loadtxt(join(scene_2d_dir, "intrinsic.txt"))
-    poses = sorted(glob(join(scene_2d_dir, "pose", "*.txt")))
+def replica_views(scene_2d_dir: str, spec: FusionSpec, every: int = 1):
+    """Global ``intrinsics.txt`` (written next to the scene dirs by
+    preprocess/replica_2d.py) + per-frame poses. The preprocessor already
+    keeps every 10th rendered frame, so the fusion pass reads all exported
+    frames (reference replica_openseg.py:61,153-158)."""
+    intr_path = join(os.path.dirname(scene_2d_dir.rstrip("/")),
+                     "intrinsics.txt")
+    if not os.path.exists(intr_path):  # legacy per-scene location
+        intr_path = join(scene_2d_dir, "intrinsic.txt")
+    intr = np.loadtxt(intr_path)
+    poses = sorted(glob(join(scene_2d_dir, "pose", "*.txt")),
+                   key=lambda p: int(basename(p)[:-4]))
     for i, pose_path in enumerate(poses):
         if i % every != 0:
             continue
