@@ -279,22 +279,67 @@ class ZeroShotEvaluator:
                                 stdout=False)
 
 
+def is_url(path: str) -> bool:
+    """Reference run/evaluate.py:59-61."""
+    scheme = str(path).split("://", 1)[0].lower() if "://" in str(path) else ""
+    return scheme in ("http", "https")
+
+
+def fetch_checkpoint(url: str, cache_dir: str = "") -> str:
+    """Download-and-cache a checkpoint URL (the reference's
+    ``model_zoo.load_url``, run/evaluate.py:166-168). Cached under
+    ``~/.cache/openscene_tpu/checkpoints`` keyed by filename; raises a clear
+    error when the environment has no network egress."""
+    import urllib.error
+    import urllib.request
+    cache_dir = cache_dir or os.path.expanduser(
+        "~/.cache/openscene_tpu/checkpoints")
+    os.makedirs(cache_dir, exist_ok=True)
+    local = join(cache_dir, os.path.basename(url))
+    if os.path.isfile(local):
+        return local
+    log.info("downloading %s -> %s", url, local)
+    tmp = local + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(
+            f"could not download checkpoint {url} ({e}); on an air-gapped "
+            f"host, download it elsewhere and pass the local path (or place "
+            f"it at {local})") from e
+    os.replace(tmp, local)
+    return local
+
+
 def load_model_for_eval(cfg: Config):
     """Model init + checkpoint load (skipped entirely in fusion mode,
-    run/evaluate.py:164-165)."""
+    run/evaluate.py:164-165).
+
+    Three checkpoint sources, like the reference (run/evaluate.py:166-194):
+    a URL (downloaded + converted from the torch/ME format), a local
+    reference ``.pth(.tar)`` (converted), or a native msgpack checkpoint."""
     if cfg.feature_type == "fusion":
         return None, None
     params, state = init_unet(jax.random.PRNGKey(cfg.manual_seed), 3,
                               output_dim(cfg.feature_2d_extractor),
                               arch=cfg.arch_3d)
-    if cfg.model_path and os.path.isfile(cfg.model_path):
-        payload = load_checkpoint(cfg.model_path,
-                                  {"params": params, "state": state})
-        params, state = payload["params"], payload["state"]
-        log.info("loaded checkpoint %s (epoch %s)", cfg.model_path,
-                 payload.get("epoch"))
-    elif cfg.model_path:
-        raise FileNotFoundError(cfg.model_path)
+    path = cfg.model_path
+    if path and is_url(path):
+        path = fetch_checkpoint(path)
+    if path and os.path.isfile(path):
+        if path.endswith((".pth", ".pth.tar", ".tar")):
+            from ..utils.convert_checkpoint import (convert_state_dict,
+                                                    load_torch_checkpoint)
+            sd = load_torch_checkpoint(path)
+            params, state = convert_state_dict(sd, cfg.arch_3d)
+            log.info("converted reference checkpoint %s", path)
+        else:
+            payload = load_checkpoint(path, {"params": params, "state": state})
+            params, state = payload["params"], payload["state"]
+            log.info("loaded checkpoint %s (epoch %s)", path,
+                     payload.get("epoch"))
+    elif path:
+        raise FileNotFoundError(path)
     return params, state
 
 

@@ -79,6 +79,61 @@ def test_module_prefix_stripped():
     assert params["conv0"].shape == (125, 3, 32)
 
 
+@pytest.mark.parametrize("region_order", ["x_fastest", "z_fastest"])
+def test_converted_kernel_matches_dense_conv3d(region_order):
+    """Golden-activation check of the permutation algebra: an ME-format
+    kernel enumerated in ``region_order`` must, after conversion, make our
+    sparse conv reproduce torch's dense conv3d (cross-correlation — the same
+    semantics as ME's sparse convolution on a dense grid with zero features
+    at holes). Pins the inversion logic for BOTH candidate orders; selecting
+    the physical ME order is probe_region_order's job on a real checkpoint."""
+    import torch
+
+    from openscene_tpu.sparse.geometry import build_unet_geometry
+    from openscene_tpu.sparse.ops import sparse_conv
+
+    rng = np.random.default_rng(0)
+    X, Y, Z = 6, 5, 4
+    Cin, Cout = 3, 5
+    occ = rng.random((X, Y, Z)) < 0.7
+    occ[0, 0, 0] = True
+    coords = np.argwhere(occ)
+    c4 = np.concatenate([np.zeros((len(coords), 1), np.int64), coords], 1)
+    order = np.lexsort((c4[:, 3], c4[:, 2], c4[:, 1], c4[:, 0]))
+    c4 = c4[order]
+    feats = rng.standard_normal((len(c4), Cin)).astype(np.float32)
+
+    w_me = rng.standard_normal((27, Cin, Cout)).astype(np.float32)
+
+    # dense ground truth: weight[co, ci, dx+1, dy+1, dz+1] = w_me[me_idx]
+    dense_w = np.zeros((Cout, Cin, 3, 3, 3), np.float32)
+    idx = 0
+    rng3 = [-1, 0, 1]
+    for a in rng3:
+        for b in rng3:
+            for c in rng3:
+                dx, dy, dz = ((c, b, a) if region_order == "x_fastest"
+                              else (a, b, c))
+                dense_w[:, :, dx + 1, dy + 1, dz + 1] = w_me[idx].T
+                idx += 1
+    vol = np.zeros((1, Cin, X, Y, Z), np.float32)
+    # advanced indices broadcast ahead of the sliced channel dim -> (N, Cin)
+    vol[0, :, c4[:, 1], c4[:, 2], c4[:, 3]] = feats
+    ref = torch.nn.functional.conv3d(
+        torch.from_numpy(vol), torch.from_numpy(dense_w), padding=1)
+    # torch keeps the sliced channel dim first here -> (Cout, N)
+    ref = ref[0, :, c4[:, 1], c4[:, 2], c4[:, 3]].numpy().T  # (N, Cout)
+
+    geo = build_unet_geometry(c4, build_windows=False)
+    cap = geo.levels[0].cap
+    x = np.zeros((cap, Cin), np.float32)
+    x[:len(c4)] = feats
+    w_ours = w_me[me_offset_permutation(3, region_order)]
+    out = np.asarray(sparse_conv(x, w_ours, geo.self3[0].fwd,
+                                 geo.self3[0].flip_perm))[:len(c4)]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_kernel_permutation_applied():
     """A kernel whose value encodes the ME region index must come out
     reordered to our x-major offset order."""
