@@ -1,0 +1,297 @@
+"""On-device (jit-compiled) geometry-plan builder.
+
+The TPU answer to MinkowskiEngine's GPU CoordinateManager (SURVEY.md §2.2):
+kernel maps, strided coordinate hierarchies and transpose-conv coordinate
+reuse are built *on the accelerator* from nothing but the level-0 voxel
+coordinates, so the host ships (cap0, 4) int32 per batch instead of
+hundreds of MB of prebuilt plans, and a 1-core host is never the bottleneck.
+
+Bit-identical to the NumPy builder (:mod:`openscene_tpu.sparse.geometry`)
+given the same static caps — tested in ``tests/test_geometry_device.py``.
+
+Design notes (all shapes static; ``num`` per level is a traced scalar):
+
+* **Keys** are int32 pairs ``(hi, lo)`` with ``hi = b * 2^16 + (x + 2^14)``
+  and ``lo = (y + 2^14) * 2^16 + (z + 2^14)``.  Coordinates are validated to
+  ±2^14 by the host packer (geometry.py:pack_coords), so each field has a
+  spare headroom bit and a ±1 stencil delta never carries across fields.
+  Lexicographic (hi, lo) order == lexicographic (b, x, y, z) order, and the
+  level-0 input is already lex-sorted (data/batch.py), so keys arrive sorted.
+
+* **Stencil probing** exploits the z-contiguity of lex-sorted voxels: for
+  each (dx, dy) column of the stencil, ONE branchless binary search finds
+  the lower bound of ``(x+dx, y+dy, z-r)``; all 2r+1 dz targets then live in
+  the next ``2r`` rows (a z-run holds consecutive-z voxels only), resolved
+  with cheap windowed compares.  A k=3 plan costs 9 searches/row instead of
+  27, k=5 costs 25 instead of 125.
+
+* **Down edges** (k=2, s=2 coordinate hierarchy) sort the children's parent
+  keys with ``lax.sort`` (2-key lexicographic) and derive unique ranks via
+  a cumsum over first-occurrence flags — the device analogue of np.unique.
+
+* **Null rows**: missing neighbors point into the padded region via the
+  same multiplicative-shuffle formula as the host builder (uint32 wrap).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import (ConvPlan, DownPlan, LevelGeometry, UNetGeometry,
+                    flip_permutation, stencil_offsets)
+
+_F = 1 << 16      # field width inside hi / lo
+_H = 1 << 14      # coordinate headroom offset (matches geometry.py)
+_SENTINEL = np.int32(2 ** 20)       # padded-row coordinate sentinel
+_KMAX = np.int32(2 ** 31 - 1)       # padded-row key sentinel
+
+
+def _keys_of(coords, num):
+    """(cap, 4) int32 sorted coords -> sorted (hi, lo) int32 keys; padded
+    rows get (KMAX, KMAX)."""
+    cap = coords.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < num
+    c = coords.astype(jnp.int32)
+    hi = c[:, 0] * _F + (c[:, 1] + _H)
+    lo = (c[:, 2] + _H) * _F + (c[:, 3] + _H)
+    return jnp.where(valid, hi, _KMAX), jnp.where(valid, lo, _KMAX), valid
+
+
+def _lower_bound(kh, kl, ph, pl):
+    """First index where (kh, kl) >= (ph, pl); branchless binary search.
+
+    Keys must be sorted (sentinel-padded tails are fine: KMAX sorts last).
+    A fori_loop over halving steps keeps the compiled graph small (an
+    unrolled chain made XLA:CPU compiles take minutes)."""
+    n = kh.shape[0]
+    nsteps = int(n).bit_length()
+    step0 = jnp.int32(1 << (nsteps - 1))  # largest power of two <= n
+
+    def body(_, carry):
+        pos, step = carry
+        cand = pos + step
+        i = jnp.minimum(cand - 1, n - 1)
+        h = jnp.take(kh, i)
+        l = jnp.take(kl, i)
+        lt = (h < ph) | ((h == ph) & (l < pl))
+        pos = jnp.where((cand <= n) & lt, cand, pos)
+        return pos, step // 2
+
+    pos0 = jnp.zeros(ph.shape, dtype=jnp.int32)
+    pos, _ = jax.lax.fori_loop(0, nsteps, body, (pos0, step0))
+    return pos
+
+
+def _null_rows(shape, num, cap: int):
+    """Device replica of geometry._spread_nulls (uint32 wraparound math)."""
+    pad = jnp.maximum(jnp.uint32(cap) - num.astype(jnp.uint32),
+                      jnp.uint32(1))
+    flat = jnp.arange(int(np.prod(shape)), dtype=jnp.uint32)
+    flat = flat * jnp.uint32(2654435761)
+    return (num.astype(jnp.int32)
+            + (flat % pad).astype(jnp.int32)).reshape(shape)
+
+
+def build_self_plan_device(coords, num, kernel_size: int) -> ConvPlan:
+    """Stride-1 stencil plan on one level: fwd[k, r] = row of
+    (coord_r + offset_k), or a spread-null row when absent.
+
+    Matches geometry.build_self_plan bit-for-bit (same offset order, same
+    null formula)."""
+    cap = coords.shape[0]
+    offsets = stencil_offsets(kernel_size)
+    K = len(offsets)
+    r = kernel_size // 2
+    win = 2 * r + 1
+    kh, kl, valid = _keys_of(coords, num)
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    nulls = _null_rows((K, cap), num, cap)
+
+    # group offsets by (dx, dy): one batched search per group at dz = -r,
+    # then all dz targets are inside the next 2r rows of the z-run
+    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()})
+    col_of = {c: g for g, c in enumerate(cols)}
+    G = len(cols)
+    dhi = np.array([c[0] for c in cols], np.int32)
+    dlo = np.array([c[1] * _F - r for c in cols], np.int32)
+    ph = kh[None, :] + jnp.asarray(dhi)[:, None]          # (G, cap)
+    pl = kl[None, :] + jnp.asarray(dlo)[:, None]
+    pos = _lower_bound(kh, kl, ph.reshape(-1),
+                       pl.reshape(-1)).reshape(G, cap)
+    wh, wl, wv = [], [], []
+    for j in range(win):
+        i = jnp.minimum(pos + j, cap - 1)                 # (G, cap)
+        wh.append(jnp.take(kh, i))
+        wl.append(jnp.take(kl, i))
+        wv.append(i < num)
+
+    fwd = []
+    for k, (dx, dy, dz) in enumerate(offsets.tolist()):
+        if dx == 0 and dy == 0 and dz == 0:
+            fwd.append(jnp.where(valid, rows, nulls[k]))
+            continue
+        g = col_of[(dx, dy)]
+        th = ph[g]
+        tl = kl + jnp.int32(dy * _F + dz)
+        hit = nulls[k]
+        for j in range(win):
+            m = valid & wv[j][g] & (wh[j][g] == th) & (wl[j][g] == tl)
+            hit = jnp.where(m, jnp.minimum(pos[g] + j, cap - 1), hit)
+        fwd.append(hit)
+    return ConvPlan(fwd=jnp.stack(fwd), flip_perm=flip_permutation(offsets))
+
+
+def build_down_edge_device(coords, num, coarse_cap: int
+                           ) -> Tuple[LevelGeometry, DownPlan]:
+    """Parent level + k=2 s=2 plan from one fine level (device analogue of
+    geometry.build_down_edge; parents come out in lex order like np.unique)."""
+    cap = coords.shape[0]
+    c = coords.astype(jnp.int32)
+    valid = jnp.arange(cap, dtype=jnp.int32) < num
+
+    # arithmetic shift = floor division by 2 (negatives handled like numpy)
+    pc = jnp.concatenate([c[:, :1], c[:, 1:] >> 1], axis=1)
+    hi = pc[:, 0] * _F + (pc[:, 1] + _H)
+    lo = (pc[:, 2] + _H) * _F + (pc[:, 3] + _H)
+    hi = jnp.where(valid, hi, _KMAX)
+    lo = jnp.where(valid, lo, _KMAX)
+
+    child_idx = jnp.arange(cap, dtype=jnp.int32)
+    sh, sl, perm = jax.lax.sort((hi, lo, child_idx), num_keys=2)
+    svalid = perm < num
+
+    prev_h = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sh[:-1]])
+    prev_l = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sl[:-1]])
+    is_new = ((sh != prev_h) | (sl != prev_l)) & svalid
+    gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1          # parent rank
+    n_parent = is_new.astype(jnp.int32).sum()
+
+    # parent coords (lex order) into the padded coarse level
+    pcoords = jnp.full((coarse_cap, 4), _SENTINEL, dtype=jnp.int32)
+    src = jnp.take(pc, perm, axis=0)
+    tgt = jnp.where(is_new, gid, coarse_cap - 1)  # overwrite-safe dump row
+    pcoords = pcoords.at[tgt].set(jnp.where(is_new[:, None], src, _SENTINEL))
+    # the dump row may hold a stale sentinel write; re-assert it
+    pcoords = pcoords.at[coarse_cap - 1].set(_SENTINEL)
+
+    # child -> parent rank (original child order)
+    cp_nulls = _null_rows((cap,), n_parent, coarse_cap)
+    child_parent = jnp.zeros(cap, jnp.int32).at[perm].set(
+        jnp.where(svalid, gid, 0))
+    child_parent = jnp.where(valid, child_parent, cp_nulls)
+
+    rem = c[:, 1:] - (pc[:, 1:] << 1)
+    off_id = (rem[:, 0] * 2 + rem[:, 1]) * 2 + rem[:, 2]
+    child_offset = jnp.where(valid, off_id, 0)
+
+    fwd = _null_rows((8, coarse_cap), num, cap).reshape(-1)
+    flat = jnp.where(valid, child_offset * coarse_cap + child_parent,
+                     8 * coarse_cap)  # out-of-range: dropped by scatter mode
+    fwd = fwd.at[flat].set(jnp.where(valid, child_idx, 0), mode="drop")
+    fwd = fwd.reshape(8, coarse_cap)
+
+    level = LevelGeometry(coords=pcoords, num=n_parent.astype(jnp.int32))
+    return level, DownPlan(fwd=fwd, child_parent=child_parent,
+                           child_offset=child_offset)
+
+
+def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
+                             spill_cap: Optional[int] = None):
+    """Device analogue of pallas_conv.build_window_plan.
+
+    Returns (WindowPlan, spill_overflow) where ``spill_overflow`` is a traced
+    bool scalar: True when more than ``spill_cap`` tiles exceeded their
+    windows (the host builder would fall back to the XLA path; inside a jit
+    the caller must surface the flag and re-dispatch — see
+    runtime/distill.py).  Differences from the host builder: the spill
+    bucket is a fixed ``spill_cap`` (default ntiles/8, the 10% host
+    fall-back threshold rounded up) instead of a measured power of two.
+    """
+    from .pallas_conv import INVALID, NCLASS, TILE, WIN, WindowPlan
+
+    K = fwd.shape[0]
+    assert cap >= WIN and cap % TILE == 0, (cap, WIN, TILE)
+    offsets = stencil_offsets(kernel_size)
+    k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
+    ntiles = cap // TILE
+    if spill_cap is None:
+        spill_cap = max(8, 1 << (int((ntiles + 7) // 8 - 1).bit_length()))
+    f = fwd.reshape(K, ntiles, TILE)
+    valid = f < num
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    big = jnp.where(valid, f, imax)
+
+    win_start = []
+    lidx = jnp.full((ntiles, K, TILE), INVALID, dtype=jnp.int32)
+    bad = jnp.zeros((ntiles,), dtype=bool)
+    for c in range(NCLASS):
+        ks = np.flatnonzero(k_class == c)
+        mn = big[ks].min(axis=(0, 2))
+        mn = jnp.where(mn == imax, 0, mn)
+        start = jnp.minimum((mn // 64) * 64, cap - WIN)
+        win_start.append(start)
+        mx = jnp.where(valid[ks], f[ks], -1).max(axis=(0, 2))
+        bad = bad | ((mx - start) >= WIN)
+        loc = f[ks] - start[None, :, None]
+        loc = jnp.where(valid[ks], loc, INVALID)
+        lidx = lidx.at[:, ks, :].set(jnp.transpose(loc, (1, 0, 2)))
+    win_start = jnp.stack(win_start, axis=1).astype(jnp.int32)
+
+    lidx = jnp.where(bad[:, None, None], INVALID, lidx)
+    n_spill = bad.astype(jnp.int32).sum()
+    rank = jnp.cumsum(bad.astype(jnp.int32)) - 1
+    spill_tiles = jnp.full((spill_cap,), -1, dtype=jnp.int32)
+    tgt = jnp.where(bad & (rank < spill_cap), rank, spill_cap)
+    spill_tiles = spill_tiles.at[tgt].set(
+        jnp.arange(ntiles, dtype=jnp.int32), mode="drop")
+    spill_fwd = jnp.take(f, jnp.maximum(spill_tiles, 0), axis=1)
+    spill_fwd = jnp.where((spill_tiles >= 0)[None, :, None], spill_fwd, 0)
+
+    plan = WindowPlan(win_start=win_start,
+                      lidx=lidx,
+                      g0pack=jnp.zeros((ntiles, NCLASS), jnp.int32),
+                      k_class=k_class,
+                      spill_tiles=spill_tiles, spill_fwd=spill_fwd)
+    return plan, n_spill > spill_cap
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _build_geometry_jit(coords, num, caps: Tuple[int, ...], stem_kernel: int,
+                        num_levels: int):
+    levels = [LevelGeometry(coords=coords, num=num.astype(jnp.int32))]
+    downs = []
+    for l in range(num_levels - 1):
+        coarse, plan = build_down_edge_device(
+            levels[l].coords, levels[l].num, caps[l + 1])
+        levels.append(coarse)
+        downs.append(plan)
+    stem = build_self_plan_device(levels[0].coords, levels[0].num,
+                                  stem_kernel)
+    self3 = tuple(build_self_plan_device(lv.coords, lv.num, 3)
+                  for lv in levels)
+    return UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
+                        down=tuple(downs), wplans=(None,) * num_levels)
+
+
+def build_unet_geometry_device(coords, num, caps: Tuple[int, ...],
+                               stem_kernel: int = 5,
+                               num_levels: int = 5) -> UNetGeometry:
+    """Full 5-level UNet geometry on device.
+
+    coords: (caps[0], 4) int32, lex-sorted valid rows first, sentinel-padded
+    (as produced by geometry._pad_level / data/batch.py).
+    num: () int32 valid-row count.  caps: static per-level capacities
+    (a GeometryCaps.fixed schedule).  Returns a UNetGeometry of device
+    arrays; window plans are attached separately (see pallas_conv /
+    build_window_plan_device).
+    """
+    if coords.shape[0] != caps[0]:
+        raise ValueError(f"coords cap {coords.shape[0]} != caps[0] {caps[0]}")
+    return _build_geometry_jit(jnp.asarray(coords), jnp.asarray(num),
+                               tuple(int(c) for c in caps), stem_kernel,
+                               num_levels)

@@ -1,0 +1,81 @@
+"""Device geometry builder vs the NumPy reference builder: bit-identical
+plans (levels, stem, self3, down edges) given the same static caps."""
+
+import numpy as np
+import pytest
+
+from openscene_tpu.sparse.geometry import (GeometryCaps, _pad_level,
+                                           build_unet_geometry, level_counts)
+from openscene_tpu.sparse.geometry_device import build_unet_geometry_device
+
+
+def _scene_coords(seed, n=4000, extent=60, batches=2, negative=False):
+    rng = np.random.default_rng(seed)
+    pts = []
+    for b in range(batches):
+        # clustered voxels (room-like walls) so z-runs and planes are real
+        base = rng.integers(0, extent, size=(n // batches // 4, 3))
+        c = np.concatenate([base + d for d in
+                            ([0, 0, 0], [0, 0, 1], [0, 1, 0], [1, 0, 0])])
+        if negative:
+            c = c - extent // 2
+        pts.append(np.concatenate(
+            [np.full((len(c), 1), b, np.int64), c], axis=1))
+    coords = np.concatenate(pts)
+    keys = ((coords[:, 0] * 2 ** 48)
+            + ((coords[:, 1] + 2 ** 14) * 2 ** 32)
+            + ((coords[:, 2] + 2 ** 14) * 2 ** 16)
+            + (coords[:, 3] + 2 ** 14))
+    _, first = np.unique(keys, return_index=True)
+    coords = coords[np.sort(first)]
+    order = np.lexsort((coords[:, 3], coords[:, 2], coords[:, 1],
+                        coords[:, 0]))
+    return coords[order]
+
+
+@pytest.mark.parametrize("seed,negative", [(0, False), (1, False), (2, True)])
+def test_device_builder_matches_numpy(seed, negative):
+    coords = _scene_coords(seed, negative=negative)
+    counts = level_counts(coords)
+    caps = tuple(max(256, -(-int(c * 1.1) // 256) * 256) for c in counts)
+    gcaps = GeometryCaps(cap0=caps[0], fixed=caps)
+
+    ref = build_unet_geometry(coords, caps=gcaps, build_windows=False)
+    dev = build_unet_geometry_device(ref.levels[0].coords, len(coords), caps)
+
+    for l in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(dev.levels[l].num), np.asarray(ref.levels[l].num),
+            err_msg=f"level {l} num")
+        np.testing.assert_array_equal(
+            np.asarray(dev.levels[l].coords), ref.levels[l].coords,
+            err_msg=f"level {l} coords")
+        np.testing.assert_array_equal(
+            np.asarray(dev.self3[l].fwd), ref.self3[l].fwd,
+            err_msg=f"level {l} self3 fwd")
+    np.testing.assert_array_equal(np.asarray(dev.stem.fwd), ref.stem.fwd,
+                                  err_msg="stem fwd")
+    for e in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(dev.down[e].fwd), ref.down[e].fwd,
+            err_msg=f"edge {e} fwd")
+        np.testing.assert_array_equal(
+            np.asarray(dev.down[e].child_parent), ref.down[e].child_parent,
+            err_msg=f"edge {e} child_parent")
+        np.testing.assert_array_equal(
+            np.asarray(dev.down[e].child_offset), ref.down[e].child_offset,
+            err_msg=f"edge {e} child_offset")
+
+
+def test_device_builder_single_voxel():
+    coords = np.array([[0, 3, 4, 5]], dtype=np.int64)
+    caps = (256,) * 5
+    gcaps = GeometryCaps(cap0=256, fixed=caps)
+    ref = build_unet_geometry(coords, caps=gcaps, build_windows=False)
+    dev = build_unet_geometry_device(ref.levels[0].coords, 1, caps)
+    for l in range(5):
+        np.testing.assert_array_equal(np.asarray(dev.levels[l].coords),
+                                      ref.levels[l].coords)
+        np.testing.assert_array_equal(np.asarray(dev.self3[l].fwd),
+                                      ref.self3[l].fwd)
+    np.testing.assert_array_equal(np.asarray(dev.stem.fwd), ref.stem.fwd)
