@@ -19,3 +19,10 @@ gather-matmul XLA/Pallas compute on device (:mod:`openscene_tpu.sparse`).
 """
 
 __version__ = "0.1.0"
+
+# Large-allocation warmup: on the targeted VM hosts, demand paging is ~100x
+# slower than warm memory; keep freed large blocks heap-resident so data
+# pipelines are bounded by arithmetic, not page faults (see utils/hostmem).
+from .utils.hostmem import warm_malloc as _warm_malloc
+
+_warm_malloc()

@@ -94,14 +94,23 @@ def class_prototypes(num_classes: int, dim: int, seed: int = 7) -> np.ndarray:
     return protos / np.linalg.norm(protos, axis=1, keepdims=True)
 
 
+_SCRATCH = {}  # warm reusable compute buffers (cold-page first-touch on
+# this VM class runs at ~15-40MB/s; fresh 0.5GB temporaries per scene made
+# feature generation ~100x slower than the arithmetic itself)
+
+
 def make_fused_features(labels: np.ndarray, num_classes: int, dim: int,
                         seed: int, noise: float = 0.1,
-                        visible_frac: float = 0.85):
+                        visible_frac: float = 0.85, chunk: int = 16384):
     """Per-point CLIP-like features from label prototypes + noise.
 
     Mirrors the reference storage: only 'visible' points carry features
     ({'feat', 'mask_full'}, fusion_util.py:70-90). Ignore-label points get a
     random prototype (2D fusion knows nothing about GT labels).
+
+    Computed in fixed-size chunks through a module-level scratch buffer and
+    written once into the final fp16 array — the only cold pages touched are
+    the returned buffer's.
     """
     rng = np.random.default_rng(seed)
     protos = class_prototypes(num_classes, dim)
@@ -109,10 +118,24 @@ def make_fused_features(labels: np.ndarray, num_classes: int, dim: int,
     lab[lab == 255] = rng.integers(0, num_classes, (lab == 255).sum())
     mask_full = rng.random(len(lab)) < visible_frac
     lab = lab[mask_full]
-    feats = protos[lab] + rng.standard_normal(
-        (len(lab), dim), dtype=np.float32) * noise
-    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
-    return feats.astype(np.float16), mask_full
+    out = np.empty((len(lab), dim), np.float16)
+    key = (chunk, dim)
+    bufs = _SCRATCH.get(key)
+    if bufs is None:
+        bufs = (np.empty((chunk, dim), np.float32),
+                np.empty((chunk, dim), np.float32))
+        _SCRATCH[key] = bufs
+    buf, pbuf = bufs
+    for i in range(0, len(lab), chunk):
+        m = min(chunk, len(lab) - i)
+        b = buf[:m]
+        rng.standard_normal(dtype=np.float32, out=b)
+        b *= noise
+        np.take(protos, lab[i:i + m], axis=0, out=pbuf[:m])
+        b += pbuf[:m]
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        out[i:i + m] = b
+    return out, mask_full
 
 
 def build_synthetic_dataset(root: str, n_train: int = 4, n_val: int = 2,
