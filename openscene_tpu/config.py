@@ -99,6 +99,9 @@ class Config:
     allow_pseudo_text: bool = False  # hash-seeded pseudo embeddings (tests)
     memory_efficient_loss: bool = False  # algebraic-head cosine loss: ~1.5x
     # larger voxel caps when HBM-bound, ~25% slower step
+    device_geometry: str = "auto"  # build kernel maps ON DEVICE inside the
+    # train step ("auto": on TPU backends; "on"/"off" force) — removes the
+    # host plan-builder + plan upload from the batch path entirely
 
     def copy(self, **updates: Any) -> "Config":
         return dataclasses.replace(self, **updates)

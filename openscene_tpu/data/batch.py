@@ -36,6 +36,18 @@ class DistillBatch(NamedTuple):
     num_voxels: int
 
 
+class RawDistillBatch(NamedTuple):
+    """Host-light batch: geometry is built ON DEVICE inside the train step
+    (sparse/geometry_device.py), so the host ships only the level-0 buffers
+    (~25MB for a 1.3M-voxel batch instead of ~1GB of prebuilt plans)."""
+    coords: np.ndarray     # (cap0, 4) int32 lex-sorted, sentinel-padded
+    num: np.ndarray        # () int32 valid voxels
+    feats: np.ndarray      # (cap0, 3)
+    feat_3d: np.ndarray    # (cap0, D)
+    mask: np.ndarray       # (cap0,)
+    labels: np.ndarray     # (cap0,) int32
+
+
 class EvalBatch(NamedTuple):
     geo: UNetGeometry
     feats: np.ndarray       # (cap0, 3)
@@ -102,6 +114,48 @@ def assemble_distill_batch(samples: Sequence[SceneSample], dim: int,
         mask[rows] = 1.0
     return DistillBatch(geo=geo, feats=feats, feat_3d=feat_3d, mask=mask,
                         labels=labels, num_voxels=n)
+
+
+def assemble_raw_distill_batch(samples: Sequence[SceneSample], dim: int,
+                               caps: Optional[GeometryCaps] = None,
+                               rng: Optional[np.random.Generator] = None,
+                               shift: bool = True):
+    """Concat/sort/pad/scatter ONLY — no kernel maps (the device builds
+    them inside the train step). Returns (RawDistillBatch, level_caps).
+
+    With ``caps=None`` a fixed schedule is derived from this batch's actual
+    level counts (cheap: 5 np.unique passes) with shift-drift headroom;
+    the bucket ladder keeps the number of distinct compiled signatures
+    small."""
+    from ..sparse.geometry import _pad_level, level_counts
+
+    rng = rng if rng is not None else np.random.default_rng()
+    sh = np.floor(rng.random(3) * 100).astype(np.int64) if shift else None
+    coords, perm, inv, offs = _concat_sort(samples, sh)
+    n = len(coords)
+    # exact post-shift level counts (5 np.unique passes, ~0.5s/1M voxels)
+    # merged into the running schedule: caps only ever grow, so the device
+    # builder can never overflow a level cap
+    counts = level_counts(coords)
+    prev = caps.fixed if caps is not None else (0,) * len(counts)
+    fixed = tuple(max(p, _bucket(c)) for p, c in zip(prev, counts))
+    caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
+    cap0 = caps.cap_for(0, n)
+    level0 = _pad_level(coords, cap0)
+
+    feats = np.zeros((cap0, 3), dtype=np.float32)
+    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    mask = np.zeros(cap0, dtype=np.float32)
+    labels = np.full(cap0, 255, dtype=np.int32)
+    feats[:n] = np.concatenate([s.feats for s in samples])[perm]
+    labels[:n] = np.concatenate([s.labels for s in samples])[perm]
+    for b, s in enumerate(samples):
+        rows = inv[offs[b] + np.flatnonzero(s.feat_mask)]
+        feat_3d[rows] = s.feat_3d.astype(np.float32)
+        mask[rows] = 1.0
+    return RawDistillBatch(coords=level0.coords, num=np.int32(n),
+                           feats=feats, feat_3d=feat_3d, mask=mask,
+                           labels=labels), caps
 
 
 def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,

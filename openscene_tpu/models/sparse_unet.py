@@ -263,7 +263,10 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
 
     # stem
     if constant_input:
-        occ = (geo.stem.fwd < nums[0]).astype(x.dtype)  # (K, cap0)
+        if geo.stem_occ is not None:  # device builder emits occupancy direct
+            occ = geo.stem_occ.astype(x.dtype)
+        else:
+            occ = (geo.stem.fwd < nums[0]).astype(x.dtype)  # (K, cap0)
         wsum = params["conv0"].sum(axis=1)  # (K, Cout)
         out = jax.lax.dot_general(
             occ, wsum.astype(x.dtype), (((0,), (0,)), ((), ())),

@@ -104,13 +104,34 @@ def make_optimizer(cfg: Config, max_iter: int):
     return optax.adam(schedule), schedule
 
 
-def make_train_step(cfg: Config, opt, mesh=None):
+def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
+    """Jitted train step.
+
+    ``geo_caps`` (a static per-level cap tuple) switches the step to
+    host-light mode: it consumes a :class:`RawDistillBatch` and builds the
+    whole geometry (kernel maps, hierarchy, Pallas window plans, stem
+    occupancy) ON DEVICE inside the same jit — the ME-parity behavior of
+    rebuilding coordinate maps per batch, minus the host/transfer cost.
+    In that mode the step returns an extra ``spill_overflow`` bool: True
+    means a window-plan spill bucket overflowed and the batch must be
+    re-run via the host/XLA path (the trainer checks it with the loss
+    sync)."""
     arch = cfg.arch_3d
     loss_kind = cfg.loss_type
     const_in = not cfg.input_color
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    use_windows = jax.default_backend() == "tpu"
 
-    def step_core(params, state, opt_state, batch: DistillBatch):
+    def step_core(params, state, opt_state, batch):
+        overflow = None
+        if geo_caps is not None:
+            from ..sparse.geometry_device import build_geometry_parts
+            geo, overflow = build_geometry_parts(
+                batch.coords, batch.num, geo_caps, windows=use_windows,
+                stem_occupancy=const_in)
+        else:
+            geo = batch.geo
+
         def loss_fn(p):
             x = batch.feats.astype(cdtype)
             if loss_kind == "cosine" and getattr(cfg, "memory_efficient_loss",
@@ -119,13 +140,13 @@ def make_train_step(cfg: Config, opt, mesh=None):
                 # (cap, 768) output or its cotangent — unlocks ~1.5x larger
                 # voxel caps when HBM-bound, at ~25% step-time cost (the f32
                 # Gram path); see cosine_head_loss
-                feats, ns = apply_unet(p, state, x, batch.geo, arch=arch,
+                feats, ns = apply_unet(p, state, x, geo, arch=arch,
                                        train=True, constant_input=const_in,
                                        return_prehead=True)
                 l = cosine_head_loss(feats, p["final"], batch.feat_3d,
                                      batch.mask)
                 return l, ns
-            out, ns = apply_unet(p, state, x, batch.geo, arch=arch,
+            out, ns = apply_unet(p, state, x, geo, arch=arch,
                                  train=True, constant_input=const_in)
             if loss_kind == "cosine":
                 l = cosine_distill_loss(out, batch.feat_3d, batch.mask)
@@ -140,14 +161,28 @@ def make_train_step(cfg: Config, opt, mesh=None):
             grads = jax.lax.pmean(grads, "data")
             new_state = jax.lax.pmean(new_state, "data")
             loss = jax.lax.pmean(loss, "data")
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, loss
+            if overflow is not None:
+                overflow = jax.lax.pmax(overflow.astype(jnp.int32), "data")
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if geo_caps is not None:
+            # on overflow (spill bucket / level cap) the gradients are wrong:
+            # keep the pre-step trees so the trainer can re-run the batch
+            # through the host-geometry path
+            keep = lambda old, new: jax.tree_util.tree_map(
+                lambda o, n: jnp.where(overflow, o, n), old, new)
+            new_params = keep(params, new_params)
+            new_state = keep(state, new_state)
+            new_opt_state = keep(opt_state, new_opt_state)
+            return new_params, new_state, new_opt_state, loss, overflow
+        return new_params, new_state, new_opt_state, loss
 
     if mesh is None:
         return jax.jit(step_core, donate_argnums=(0, 1, 2))
 
     from jax.sharding import PartitionSpec as P
+
+    n_out = 5 if geo_caps is not None else 4
 
     def sharded(params, state, opt_state, batches):
         def inner(params, state, opt_state, batch):
@@ -156,7 +191,7 @@ def make_train_step(cfg: Config, opt, mesh=None):
         return jax.shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(), P(), P("data")),
-            out_specs=(P(), P(), P(), P()),
+            out_specs=(P(),) * n_out,
             check_vma=False,  # scan carries inside the convs start unvarying
         )(params, state, opt_state, batches)
 
@@ -255,6 +290,20 @@ class DistillTrainer:
         self._caps_lock = threading.Lock()
         self._val_caps = None
         self._val_point_cap = None
+        # device-side geometry: kernel maps built inside the jitted step
+        # ("auto": on TPU, where the searchsorted probes run at HBM speed;
+        # host/XLA-gather geometry elsewhere). Sharded mode keeps the host
+        # builder for now (per-shard in-jit build composes with shard_map
+        # but is unmeasured there).
+        dg = str(cfg.device_geometry).lower()
+        self.device_geometry = (jax.default_backend() == "tpu"
+                                if dg == "auto" else dg in ("on", "true", "1"))
+        if self.device_geometry and self.mesh is not None:
+            log.info("device_geometry: sharded training keeps the host "
+                     "builder (set device_geometry=on to force)")
+            self.device_geometry = dg in ("on", "true", "1")
+        self._dg_steps: Dict[Tuple, object] = {}
+        self._host_step = None
 
         self.train_data = FusedFeatureLoader(
             datapath_prefix=cfg.data_root,
@@ -330,9 +379,41 @@ class DistillTrainer:
             self._train_caps = caps
         return shard_batch(self.mesh, batches)
 
+    def _raw_step(self, caps: Tuple[int, ...]):
+        """Device-geometry train step, cached per static cap signature."""
+        if caps not in self._dg_steps:
+            self._dg_steps[caps] = make_train_step(self.cfg, self.opt,
+                                                   mesh=self.mesh,
+                                                   geo_caps=caps)
+        return self._dg_steps[caps]
+
+    def _host_batch_from_raw(self, raw):
+        """Rebuild a host-geometry DistillBatch from a raw batch (overflow
+        fallback: window-plan spill bucket or level cap outgrown)."""
+        from ..sparse.geometry import GeometryCaps, build_unet_geometry
+        n = int(raw.num)
+        coords = np.asarray(raw.coords[:n])
+        geo = build_unet_geometry(coords, caps=GeometryCaps.for_count(n))
+        cap0 = geo.levels[0].cap
+        pad0 = cap0 - raw.coords.shape[0]
+
+        def grow(a, fill=0.0):
+            a = np.asarray(a)
+            if pad0 == 0:
+                return a
+            if pad0 > 0:
+                width = [(0, pad0)] + [(0, 0)] * (a.ndim - 1)
+                return np.pad(a, width, constant_values=fill)
+            return a[:cap0]
+
+        return DistillBatch(geo=geo, feats=grow(raw.feats),
+                            feat_3d=grow(raw.feat_3d), mask=grow(raw.mask),
+                            labels=grow(raw.labels, 255), num_voxels=n)
+
     def _epoch_batches(self):
         """Batches built ``workers`` threads ahead of the device step
         (replaces the reference's DataLoader worker pool)."""
+        from ..data.batch import assemble_raw_distill_batch
         from ..data.prefetch import Prefetcher
 
         order = self.rng.permutation(len(self.train_data))
@@ -343,6 +424,14 @@ class DistillTrainer:
             samples = [self.train_data.get(j) for j in idxs]
             if self.mesh is not None:
                 return self._build_sharded(samples)
+            if self.device_geometry:
+                with self._caps_lock:
+                    caps = self._train_caps
+                batch, caps = assemble_raw_distill_batch(
+                    samples, self.dim, caps=caps, rng=self.rng)
+                with self._caps_lock:
+                    self._train_caps = caps
+                return batch, caps.fixed  # caps pinned to THIS batch's shapes
             return assemble_distill_batch(samples, self.dim, rng=self.rng)
 
         if self.mesh is not None and self._train_caps is None:
@@ -367,10 +456,30 @@ class DistillTrainer:
         data_meter = AverageMeter()
         batch_meter = AverageMeter()
         end = time.time()
+        from ..data.batch import RawDistillBatch
         for i, batch in enumerate(self._epoch_batches()):
             data_meter.update(time.time() - end)
-            self.params, self.state, self.opt_state, loss = self.step_fn(
-                self.params, self.state, self.opt_state, batch)
+            if isinstance(batch, tuple) and isinstance(batch[0],
+                                                       RawDistillBatch):
+                batch, caps = batch
+                step = self._raw_step(caps)
+                (self.params, self.state, self.opt_state, loss,
+                 overflow) = step(self.params, self.state, self.opt_state,
+                                  batch)
+                if bool(overflow):
+                    # window-plan spill bucket overflowed: the step kept the
+                    # pre-update trees; re-run through the host-geometry path
+                    log.warning("device-geometry spill overflow; re-running "
+                                "batch %d via the host builder", i)
+                    if self._host_step is None:
+                        self._host_step = make_train_step(self.cfg, self.opt)
+                    hb = self._host_batch_from_raw(batch)
+                    (self.params, self.state, self.opt_state,
+                     loss) = self._host_step(self.params, self.state,
+                                             self.opt_state, hb)
+            else:
+                self.params, self.state, self.opt_state, loss = self.step_fn(
+                    self.params, self.state, self.opt_state, batch)
             self.global_step += 1
             loss = float(loss)
             loss_meter.update(loss, self.cfg.batch_size)
@@ -398,10 +507,13 @@ class DistillTrainer:
         """Epoch-end qualitative PLY dump comparing fused 2D labels, model
         predictions and GT on scene 0 of the last train batch
         (run/distill.py:372-398); written to save_path/result/last/."""
+        from ..data.batch import RawDistillBatch
         from ..utils.viz import export_labeled_cloud
 
         if self.mesh is not None:  # stacked: take device 0's sub-batch
             batch = jax.tree_util.tree_map(lambda x: np.asarray(x)[0], batch)
+        if isinstance(batch, RawDistillBatch):  # device-geometry path
+            batch = self._host_batch_from_raw(batch)
         if self._viz_fwd is None:
             arch, const_in = self.cfg.arch_3d, not self.cfg.input_color
             cdt = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"

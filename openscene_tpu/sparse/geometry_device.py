@@ -63,28 +63,52 @@ def _keys_of(coords, num):
 
 
 def _lower_bound(kh, kl, ph, pl):
-    """First index where (kh, kl) >= (ph, pl); branchless binary search.
+    """First index where (kh, kl) >= (ph, pl).
 
-    Keys must be sorted (sentinel-padded tails are fine: KMAX sorts last).
-    A fori_loop over halving steps keeps the compiled graph small (an
-    unrolled chain made XLA:CPU compiles take minutes)."""
+    TPU-shaped search: a per-element binary search gathers one element per
+    probe per step — XLA lowers that to a scalar loop (~0.3GB/s measured).
+    Instead descend a 3-level 128-ary pivot tree: one broadcast compare
+    against 128 top pivots, then two 128-wide ROW gathers (the fast gather
+    path) + lane-reduced compares.  Exact lower bound for n <= 128^3 (2M),
+    zero element gathers.
+
+    Keys must be sorted; sentinel-padded tails (KMAX) sort last and never
+    count as < probe for valid probes."""
     n = kh.shape[0]
-    nsteps = int(n).bit_length()
-    step0 = jnp.int32(1 << (nsteps - 1))  # largest power of two <= n
+    B = 128
+    assert n <= B * B * B, n
+    nb = -(-n // B)                    # number of 128-wide base rows
+    pad = nb * B - n
+    a3h = jnp.pad(kh, (0, pad), constant_values=_KMAX).reshape(nb, B)
+    a3l = jnp.pad(kl, (0, pad), constant_values=_KMAX).reshape(nb, B)
+    # level-2 pivots: first element of every base row, padded to (128, 128)
+    p2h = jnp.pad(a3h[:, 0], (0, B * B - nb),
+                  constant_values=_KMAX).reshape(B, B)
+    p2l = jnp.pad(a3l[:, 0], (0, B * B - nb),
+                  constant_values=_KMAX).reshape(B, B)
+    # level-1 pivots: first element of every level-2 row
+    p1h, p1l = p2h[:, 0], p2l[:, 0]
 
-    def body(_, carry):
-        pos, step = carry
-        cand = pos + step
-        i = jnp.minimum(cand - 1, n - 1)
-        h = jnp.take(kh, i)
-        l = jnp.take(kl, i)
-        lt = (h < ph) | ((h == ph) & (l < pl))
-        pos = jnp.where((cand <= n) & lt, cand, pos)
-        return pos, step // 2
+    def lt(h, l, ph_, pl_):
+        return (h < ph_) | ((h == ph_) & (l < pl_))
 
-    pos0 = jnp.zeros(ph.shape, dtype=jnp.int32)
-    pos, _ = jax.lax.fori_loop(0, nsteps, body, (pos0, step0))
-    return pos
+    shape = ph.shape
+    ph = ph.reshape(-1)
+    pl = pl.reshape(-1)
+    c1 = jnp.sum(lt(p1h[None, :], p1l[None, :], ph[:, None], pl[:, None]),
+                 axis=1).astype(jnp.int32)
+    j = jnp.clip(c1 - 1, 0, B - 1)
+    r2h = jnp.take(p2h, j, axis=0)
+    r2l = jnp.take(p2l, j, axis=0)
+    c2 = jnp.sum(lt(r2h, r2l, ph[:, None], pl[:, None]),
+                 axis=1).astype(jnp.int32)
+    m = jnp.minimum(j * B + jnp.clip(c2 - 1, 0, B - 1), nb - 1)
+    r3h = jnp.take(a3h, m, axis=0)
+    r3l = jnp.take(a3l, m, axis=0)
+    c3 = jnp.sum(lt(r3h, r3l, ph[:, None], pl[:, None]),
+                 axis=1).astype(jnp.int32)
+    pos = jnp.where(c1 == 0, 0, m * B + c3)
+    return jnp.minimum(pos, n).reshape(shape)
 
 
 def _null_rows(shape, num, cap: int):
@@ -260,35 +284,118 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     return plan, n_spill > spill_cap
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _build_geometry_jit(coords, num, caps: Tuple[int, ...], stem_kernel: int,
-                        num_levels: int):
-    levels = [LevelGeometry(coords=coords, num=num.astype(jnp.int32))]
+def build_stem_occupancy_device(coords, num, kernel_size: int = 5):
+    """(K, cap) bf16 stencil occupancy — the only thing the k=5 stem needs
+    for constant-input models (occupancy GEMM, models/sparse_unet.py) —
+    without ever materializing the (K, cap) int32 index plan."""
+    cap = coords.shape[0]
+    offsets = stencil_offsets(kernel_size)
+    r = kernel_size // 2
+    win = 2 * r + 1
+    kh, kl, valid = _keys_of(coords, num)
+
+    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()})
+    col_of = {c: g for g, c in enumerate(cols)}
+    G = len(cols)
+    dhi = np.array([c[0] for c in cols], np.int32)
+    dlo = np.array([c[1] * _F - r for c in cols], np.int32)
+    ph = kh[None, :] + jnp.asarray(dhi)[:, None]
+    pl = kl[None, :] + jnp.asarray(dlo)[:, None]
+    pos = _lower_bound(kh, kl, ph.reshape(-1),
+                       pl.reshape(-1)).reshape(G, cap)
+    wh, wl, wv = [], [], []
+    for j in range(win):
+        i = jnp.minimum(pos + j, cap - 1)
+        wh.append(jnp.take(kh, i))
+        wl.append(jnp.take(kl, i))
+        wv.append(i < num)
+
+    occ = []
+    for (dx, dy, dz) in offsets.tolist():
+        if dx == 0 and dy == 0 and dz == 0:
+            occ.append(valid)
+            continue
+        g = col_of[(dx, dy)]
+        th = ph[g]
+        tl = kl + jnp.int32(dy * _F + dz)
+        hit = jnp.zeros((cap,), bool)
+        for j in range(win):
+            hit = hit | (wv[j][g] & (wh[j][g] == th) & (wl[j][g] == tl))
+        occ.append(hit & valid)
+    return jnp.stack(occ).astype(jnp.bfloat16)
+
+
+def build_geometry_parts(coords, num, caps: Tuple[int, ...],
+                         stem_kernel: int = 5, num_levels: int = 5,
+                         windows: bool = False,
+                         stem_occupancy: bool = False):
+    """Traceable geometry construction (call from inside an outer jit, e.g.
+    the train step). Returns (UNetGeometry, spill_overflow bool scalar).
+
+    ``windows=True`` attaches device-built Pallas window plans for every
+    level whose cap fits the kernel's tiling; ``spill_overflow`` is True iff
+    any level's spill bucket overflowed (caller must fall back — the plan
+    would silently drop spill corrections otherwise).
+    ``stem_occupancy=True`` builds the k=5 stem as a (K, cap0) occupancy
+    matrix only (constant-input models)."""
+    from .pallas_conv import TILE, WIN
+
+    num = jnp.asarray(num)
+    levels = [LevelGeometry(coords=jnp.asarray(coords),
+                            num=num.astype(jnp.int32))]
     downs = []
+    overflow = jnp.zeros((), bool)
     for l in range(num_levels - 1):
         coarse, plan = build_down_edge_device(
             levels[l].coords, levels[l].num, caps[l + 1])
+        # a coarse level outgrowing its static cap would silently corrupt
+        # ranks (the NumPy builder raises OverflowError here) — flag it
+        overflow = overflow | (coarse.num > caps[l + 1] - 1)
         levels.append(coarse)
         downs.append(plan)
-    stem = build_self_plan_device(levels[0].coords, levels[0].num,
-                                  stem_kernel)
+    stem_occ = None
+    if stem_occupancy:
+        stem = ConvPlan(fwd=None,
+                        flip_perm=flip_permutation(
+                            stencil_offsets(stem_kernel)))
+        stem_occ = build_stem_occupancy_device(levels[0].coords,
+                                               levels[0].num, stem_kernel)
+    else:
+        stem = build_self_plan_device(levels[0].coords, levels[0].num,
+                                      stem_kernel)
     self3 = tuple(build_self_plan_device(lv.coords, lv.num, 3)
                   for lv in levels)
-    return UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
-                        down=tuple(downs), wplans=(None,) * num_levels)
+    wplans = [None] * num_levels
+    if windows:
+        for l in range(num_levels):
+            cap = caps[l]
+            if cap >= WIN and cap % TILE == 0:
+                wplans[l], ov = build_window_plan_device(
+                    self3[l].fwd, levels[l].num, cap)
+                overflow = overflow | ov
+    geo = UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
+                       down=tuple(downs), wplans=tuple(wplans),
+                       stem_occ=stem_occ)
+    return geo, overflow
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _build_geometry_jit(coords, num, caps: Tuple[int, ...], stem_kernel: int,
+                        num_levels: int):
+    geo, _ = build_geometry_parts(coords, num, caps, stem_kernel, num_levels)
+    return geo
 
 
 def build_unet_geometry_device(coords, num, caps: Tuple[int, ...],
                                stem_kernel: int = 5,
                                num_levels: int = 5) -> UNetGeometry:
-    """Full 5-level UNet geometry on device.
+    """Full 5-level UNet geometry on device (standalone jitted entry).
 
     coords: (caps[0], 4) int32, lex-sorted valid rows first, sentinel-padded
     (as produced by geometry._pad_level / data/batch.py).
     num: () int32 valid-row count.  caps: static per-level capacities
-    (a GeometryCaps.fixed schedule).  Returns a UNetGeometry of device
-    arrays; window plans are attached separately (see pallas_conv /
-    build_window_plan_device).
+    (a GeometryCaps.fixed schedule).  For in-step construction (windows,
+    stem occupancy) use :func:`build_geometry_parts` inside your own jit.
     """
     if coords.shape[0] != caps[0]:
         raise ValueError(f"coords cap {coords.shape[0]} != caps[0] {caps[0]}")

@@ -101,6 +101,9 @@ class UNetGeometry(NamedTuple):
     self3: Tuple[ConvPlan, ...]
     down: Tuple[DownPlan, ...]
     wplans: Tuple = ()
+    stem_occ: Optional[object] = None  # (K, cap0) occupancy (compute dtype);
+    # set by the device builder for constant-input models so the k=5 stem
+    # never materializes its (K, cap0) int32 index plan
 
 
 def stencil_offsets(kernel_size: int, dimension: int = 3) -> np.ndarray:

@@ -1,37 +1,25 @@
 """Dev tool: per-op timing breakdown of the distill train step on TPU.
 
-Builds (or loads from cache) the official bench batch, then times forward
-and forward+backward of each sparse op at its real shapes:
-  - stem occupancy GEMM (K=125, constant input)
+Loads the cached bench coords (/tmp/bench_coords.npz; rebuild with
+scripts/dev_make_bench_coords.py), builds the FULL geometry on device via
+sparse/geometry_device.py (uploads ~21MB instead of ~2.5GB of host plans),
+then times forward and forward+backward of each sparse op at its real
+shapes:
   - per-level k=3 stencil convs (windowed Pallas vs XLA gather path)
   - per-edge k=2 s=2 down / up convs (XLA path today)
+  - stem occupancy GEMM; the on-device geometry build itself
 Timing protocol per CLAUDE.md: chain N dispatches, sync with a small host
 read, subtract RTT (block_until_ready is a no-op through the axon tunnel).
-
-Usage: python scripts/dev_bench_ops.py [--cache /tmp/bench_batch.pkl]
 """
 
 import argparse
-import pickle
+import os
 import sys
 import time
-from os.path import exists
 
 import numpy as np
 
-
-def get_batch(cache):
-    if exists(cache):
-        with open(cache, "rb") as f:
-            return pickle.load(f)
-    sys.path.insert(0, ".")
-    import bench
-    t0 = time.time()
-    batch = bench.build_batch()
-    print(f"# built bench batch in {time.time()-t0:.1f}s", file=sys.stderr)
-    with open(cache, "wb") as f:
-        pickle.dump(batch, f)
-    return batch
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_timer():
@@ -45,6 +33,10 @@ def make_timer():
         _ = float(np.asarray(probe(small)).sum())
     rtt = (time.time() - t) / 5
 
+    def _sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(np.asarray(leaf.reshape(-1)[0]))
+
     def timeit(fn, args, iters=10):
         out = fn(*args)  # compile
         _sync(out)
@@ -54,55 +46,72 @@ def make_timer():
         _sync(out)
         return (time.time() - t - rtt) / iters
 
-    def _sync(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = float(np.asarray(leaf.reshape(-1)[0]))
-
     return timeit
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cache", default="/tmp/bench_batch.pkl")
+    ap.add_argument("--coords", default="/tmp/bench_coords.npz")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--levels", default="0,1,2,3,4")
+    ap.add_argument("--skip_xla", action="store_true")
+    ap.add_argument("--skip_edges", action="store_true")
+    ap.add_argument("--skip_build_timing", action="store_true")
     args = ap.parse_args()
 
-    batch = get_batch(args.cache)
+    d = np.load(args.coords)
+    coords_h, num = d["coords"], int(d["num"])
 
     import jax
     import jax.numpy as jnp
+    from openscene_tpu.sparse.geometry import (GeometryCaps, _bucket,
+                                               _pad_level, level_counts)
+    from openscene_tpu.sparse.geometry_device import build_geometry_parts
     from openscene_tpu.sparse.ops import (sparse_conv, sparse_down_conv,
                                           sparse_up_conv)
     from openscene_tpu.sparse.pallas_conv import windowed_sparse_conv
-    from openscene_tpu.models.sparse_unet import ARCHS
 
-    geo = jax.tree_util.tree_map(jax.device_put, batch.geo)
+    counts = level_counts(coords_h)
+    caps_t = tuple(_bucket(c) for c in counts)
+    level0 = _pad_level(coords_h, caps_t[0])
+    print(f"# caps={caps_t} counts={counts}", flush=True)
+
+    coords_d = jax.device_put(level0.coords)
+    num_d = jax.device_put(np.int32(num))
     timeit = make_timer()
-    a = ARCHS["MinkUNet18A"]
 
-    caps = [l.cap for l in geo.levels]
-    nums = [int(l.num) for l in geo.levels]
-    print(f"# caps={caps} nums={nums}")
+    @jax.jit
+    def build(coords, n):
+        geo, ov = build_geometry_parts(coords, n, caps_t, windows=True,
+                                       stem_occupancy=True)
+        return geo, ov
+
+    t0 = time.time()
+    geo, ov = build(coords_d, num_d)
+    jax.tree_util.tree_leaves(geo)[0].block_until_ready()
+    print(f"# geometry build compile+first: {time.time()-t0:.1f}s "
+          f"overflow={bool(ov)}", flush=True)
+    if not args.skip_build_timing:
+        t_build = timeit(build, (coords_d, num_d), args.iters)
+        print(f"on-device geometry build (windows+occ): {t_build*1e3:7.1f}ms",
+              flush=True)
 
     key = jax.random.PRNGKey(0)
 
     def rand(shape, dtype=jnp.bfloat16):
         return jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
 
-    # channel shapes actually used per level (encoder block + decoder block)
-    # encoder blocks: level i (1..4) convs are (planes[i-1], planes[i-1])
-    # decoder blocks at level lvl: conv1 (up_out+skip, planes), conv2 (p, p)
     level_shapes = {0: [(96 + 32, 96), (96, 96)],
-                    1: [(96 + 64, 96), (96, 96), (32, 32), (32, 32)],
-                    2: [(128 + 128, 128), (128, 128), (64, 64), (64, 64)],
-                    3: [(128 + 256, 128), (128, 128), (128, 128)],
-                    4: [(256, 256), (256, 256)]}
+                    1: [(96 + 64, 96), (96, 96), (32, 32)],
+                    2: [(128 + 128, 128), (128, 128), (64, 64)],
+                    3: [(128 + 256, 128), (128, 128)],
+                    4: [(256, 256)]}
 
-    results = []
-    for lvl in range(5):
-        cap = caps[lvl]
+    levels = [int(v) for v in args.levels.split(",")]
+    for lvl in levels:
+        cap = caps_t[lvl]
         plan = geo.self3[lvl]
-        wplan = geo.wplans[lvl] if len(geo.wplans) > lvl else None
+        wplan = geo.wplans[lvl]
         for (C, Cout) in level_shapes[lvl]:
             x = rand((cap, C))
             w = rand((27, C, Cout), jnp.float32)
@@ -114,12 +123,17 @@ def main():
             def xla_fb(x, w):
                 def loss(x, w):
                     return (sparse_conv(x, w, plan.fwd, plan.flip_perm)
-                            .astype(jnp.float32) * g.astype(jnp.float32)).sum()
+                            .astype(jnp.float32)
+                            * g.astype(jnp.float32)).sum()
                 return jax.grad(loss, argnums=(0, 1))(x, w)
 
-            t_f = timeit(jax.jit(xla_f), (x, w), args.iters)
-            t_fb = timeit(jax.jit(xla_fb), (x, w), args.iters)
-            row = f"L{lvl} conv {C:3d}x{Cout:3d} xla: f {t_f*1e3:7.2f}ms  f+b {t_fb*1e3:7.2f}ms"
+            if args.skip_xla:
+                row = f"L{lvl} conv {C:3d}x{Cout:3d}"
+            else:
+                t_f = timeit(jax.jit(xla_f), (x, w), args.iters)
+                t_fb = timeit(jax.jit(xla_fb), (x, w), args.iters)
+                row = (f"L{lvl} conv {C:3d}x{Cout:3d} xla: f {t_f*1e3:7.2f}ms  "
+                       f"f+b {t_fb*1e3:7.2f}ms")
             if wplan is not None:
                 def win_f(x, w):
                     return windowed_sparse_conv(
@@ -134,25 +148,25 @@ def main():
                 try:
                     t_wf = timeit(jax.jit(win_f), (x, w), args.iters)
                     t_wfb = timeit(jax.jit(win_fb), (x, w), args.iters)
-                    row += f" | win: f {t_wf*1e3:7.2f}ms  f+b {t_wfb*1e3:7.2f}ms"
+                    row += (f" | win: f {t_wf*1e3:7.2f}ms  "
+                            f"f+b {t_wfb*1e3:7.2f}ms")
                 except Exception as e:
-                    row += f" | win: FAIL {type(e).__name__}: {str(e)[:80]}"
+                    row += f" | win FAIL {type(e).__name__}: {str(e)[:70]}"
             print(row, flush=True)
-            results.append(row)
 
-    # down/up convs per edge
-    enc_ch = [32, 32, 64, 128, 256]  # input channels of conv{i} at edge i-1
-    dec_ch = [(256, 128), (128, 128), (128, 96), (96, 96)]
+    # down/up convs per edge (channels of MinkUNet18A)
+    if args.skip_edges:
+        return
+    down_ch = [32, 32, 64, 128]           # conv{i} in=out channels at edge
+    up_ch = [(128, 128), (128, 128), (128, 96), (96, 96)]
+    # decoder convtr(7-e) maps level e+1 -> e with (in, out):
+    up_ch = {3: (256, 128), 2: (128, 128), 1: (128, 96), 0: (96, 96)}
     for e in range(4):
         plan = geo.down[e]
-        C = enc_ch[e + 1] if e < 4 else None
-        Cin = enc_ch[e]
-        x = rand((caps[e], enc_ch[e + 1] if False else enc_ch[e]))
-        # conv{i}: inplanes -> inplanes at edge e: channels
-        Cc = [32, 32, 64, 128][e]
-        x = rand((caps[e], Cc))
+        Cc = down_ch[e]
+        x = rand((caps_t[e], Cc))
         w = rand((8, Cc, Cc), jnp.float32)
-        g = rand((caps[e + 1], Cc))
+        g = rand((caps_t[e + 1], Cc))
 
         def down_f(x, w):
             return sparse_down_conv(x, w, plan)
@@ -165,14 +179,13 @@ def main():
 
         t_f = timeit(jax.jit(down_f), (x, w), args.iters)
         t_fb = timeit(jax.jit(down_fb), (x, w), args.iters)
-        print(f"E{e} down {Cc:3d}x{Cc:3d}: f {t_f*1e3:7.2f}ms  f+b {t_fb*1e3:7.2f}ms",
-              flush=True)
+        print(f"E{e} down {Cc:3d}x{Cc:3d}: f {t_f*1e3:7.2f}ms  "
+              f"f+b {t_fb*1e3:7.2f}ms", flush=True)
 
-        # up conv at same edge (decoder): convtr{4+(3-e)}: (in, out)
-        Cu_in, Cu_out = dec_ch[3 - e]
-        xu = rand((caps[e + 1], Cu_in))
+        Cu_in, Cu_out = up_ch[e]
+        xu = rand((caps_t[e + 1], Cu_in))
         wu = rand((8, Cu_in, Cu_out), jnp.float32)
-        gu = rand((caps[e], Cu_out))
+        gu = rand((caps_t[e], Cu_out))
 
         def up_f(xu, wu):
             return sparse_up_conv(xu, wu, plan)
@@ -185,22 +198,21 @@ def main():
 
         t_f = timeit(jax.jit(up_f), (xu, wu), args.iters)
         t_fb = timeit(jax.jit(up_fb), (xu, wu), args.iters)
-        print(f"E{e} up   {Cu_in:3d}x{Cu_out:3d}: f {t_f*1e3:7.2f}ms  f+b {t_fb*1e3:7.2f}ms",
-              flush=True)
+        print(f"E{e} up   {Cu_in:3d}x{Cu_out:3d}: f {t_f*1e3:7.2f}ms  "
+              f"f+b {t_fb*1e3:7.2f}ms", flush=True)
 
-    # stem occupancy GEMM
-    occ_plan = geo.stem
+    # stem occupancy GEMM from device-built occupancy
     w = rand((125, 3, 32), jnp.float32)
-    num0 = geo.levels[0].num
+    occ = geo.stem_occ
 
-    def stem_f(w):
-        occ = (occ_plan.fwd < num0).astype(jnp.bfloat16)
+    def stem_f(w, occ):
         wsum = w.sum(axis=1)
-        return jax.lax.dot_general(occ, wsum.astype(jnp.bfloat16),
+        return jax.lax.dot_general(occ.astype(jnp.bfloat16),
+                                   wsum.astype(jnp.bfloat16),
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    t_f = timeit(jax.jit(stem_f), (w,), args.iters)
+    t_f = timeit(jax.jit(stem_f), (w, occ), args.iters)
     print(f"stem occupancy GEMM 125x3x32: f {t_f*1e3:7.2f}ms", flush=True)
 
 

@@ -79,3 +79,56 @@ def test_device_builder_single_voxel():
         np.testing.assert_array_equal(np.asarray(dev.self3[l].fwd),
                                       ref.self3[l].fwd)
     np.testing.assert_array_equal(np.asarray(dev.stem.fwd), ref.stem.fwd)
+
+
+def test_device_window_plan_matches_host():
+    """build_window_plan_device vs the host builder on the same fwd plan:
+    identical win_start/lidx; the spill-tile SET matches (bucket sizes may
+    differ — device uses a fixed cap, host a measured power of two)."""
+    from openscene_tpu.sparse.pallas_conv import TILE, WIN, build_window_plan
+    from openscene_tpu.sparse.geometry_device import build_window_plan_device
+
+    coords = _scene_coords(3, n=12000, extent=90)
+    counts = level_counts(coords)
+    cap0 = max(WIN, -(-int(counts[0] * 1.1) // TILE) * TILE)
+    caps = (cap0,) + tuple(max(256, -(-int(c * 1.2) // 256) * 256)
+                           for c in counts[1:])
+    gcaps = GeometryCaps(cap0=caps[0], fixed=caps)
+    ref = build_unet_geometry(coords, caps=gcaps, build_windows=False)
+    fwd = np.asarray(ref.self3[0].fwd)
+    num = int(ref.levels[0].num)
+
+    host = build_window_plan(fwd, num, caps[0])
+    assert host is not None
+    dev, overflow = build_window_plan_device(fwd, num, caps[0])
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(dev.win_start), host.win_start)
+    np.testing.assert_array_equal(np.asarray(dev.lidx), host.lidx)
+    host_spills = set(host.spill_tiles[host.spill_tiles >= 0].tolist())
+    dev_st = np.asarray(dev.spill_tiles)
+    dev_spills = set(dev_st[dev_st >= 0].tolist())
+    assert dev_spills == host_spills
+    # spill_fwd rows agree for the listed tiles
+    host_sf = np.asarray(host.spill_fwd)
+    dev_sf = np.asarray(dev.spill_fwd)
+    for hpos, tile in enumerate(host.spill_tiles):
+        if tile < 0:
+            continue
+        dpos = int(np.flatnonzero(dev_st == tile)[0])
+        np.testing.assert_array_equal(dev_sf[:, dpos], host_sf[:, hpos])
+
+
+def test_device_stem_occupancy_matches_plan():
+    """Stem occupancy == (stem.fwd < num) of the index-plan builder."""
+    from openscene_tpu.sparse.geometry_device import (
+        build_stem_occupancy_device)
+
+    coords = _scene_coords(4, n=6000, extent=70)
+    counts = level_counts(coords)
+    caps = tuple(max(256, -(-int(c * 1.1) // 256) * 256) for c in counts)
+    gcaps = GeometryCaps(cap0=caps[0], fixed=caps)
+    ref = build_unet_geometry(coords, caps=gcaps, build_windows=False)
+    num = int(ref.levels[0].num)
+    occ = build_stem_occupancy_device(ref.levels[0].coords, num, 5)
+    want = (np.asarray(ref.stem.fwd) < num).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(occ, np.float32), want)
