@@ -48,7 +48,8 @@ log = get_logger()
 
 
 def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
-                   constant_input: bool = True, return_features: bool = False):
+                   constant_input: bool = True, return_features: bool = False,
+                   mesh=None):
     """Build the jitted per-batch step.
 
     Returns (point_logits, point_feat_mask[, point_features]); the optional
@@ -56,9 +57,14 @@ def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
     ``save_feature_as_numpy`` (model output for distill, fused feature for
     fusion, the blended ``feat_ensemble`` for ensemble —
     run/evaluate.py:288-331) — only materialized when requested, to keep the
-    (N, 768) device->host transfer off the plain eval path."""
+    (N, 768) device->host transfer off the plain eval path.
 
-    @jax.jit
+    With ``mesh``, the step takes device-stacked EvalBatches (one scene per
+    device, identical caps) and returns stacked outputs — the TPU version of
+    the reference's scaffolded multi-GPU eval (run/evaluate.py:160,
+    eval_mink.py:190-191); all protocol logic (repeats, ensemble, metric
+    sentinels, nuScenes mapping) stays on the host unchanged."""
+
     def step(params, state, text, batch: EvalBatch):
         geo = batch.geo
         text_t = jnp.asarray(text).T.astype(jnp.float32)
@@ -94,7 +100,26 @@ def make_eval_step(mode: str, arch: str, compute_dtype=jnp.bfloat16,
             return point_logits, point_mask, jnp.take(feat_v, inds, axis=0)
         return point_logits, point_mask
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_out = 3 if return_features else 2
+
+    def sharded(params, state, text, batches):
+        def inner(params, state, text, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            out = step(params, state, text, batch)
+            return jax.tree_util.tree_map(lambda x: x[None], out)
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P("data"),) * n_out,
+            check_vma=False,
+        )(params, state, text, batches)
+
+    return jax.jit(sharded)
 
 
 class ZeroShotEvaluator:
@@ -121,8 +146,19 @@ class ZeroShotEvaluator:
         self.labelset_full = labels + ["unlabeled"]
         self.params, self.state = params, state
         self.mode = cfg.feature_type
+        # multi-device eval: one scene per device along the 'data' axis
+        # (reference scaffolds DDP eval, run/evaluate.py:160; configs run 1
+        # GPU — mesh only engages when data_parallel is set explicitly)
+        self.mesh = None
+        self.n_dp = 1
+        if cfg.data_parallel > 1:
+            from ..parallel.mesh import get_mesh
+            self.n_dp = min(cfg.data_parallel, len(jax.devices()))
+            self.mesh = get_mesh(data=self.n_dp, model=1)
+            log.info("sharded eval over %d devices", self.n_dp)
         self.step = make_eval_step(self.mode, cfg.arch_3d,
-                                   constant_input=not cfg.input_color)
+                                   constant_input=not cfg.input_color,
+                                   mesh=self.mesh)
         self.mark_unknown = (cfg.mark_no_feature_to_unknown
                              and self.mode == "fusion")
 
@@ -164,15 +200,11 @@ class ZeroShotEvaluator:
                                      workers=cfg.test_workers)
             else:
                 samples = (loader.get(i) for i in range(n_scenes))
-            for i, sample in enumerate(samples):
-                batch = assemble_eval_batch(
-                    [sample], self.dim, need_model=self.mode != "fusion")
-                out = step(self.params, self.state, self.text, batch)
+            for i, sample, out, n_pts in self._scene_outputs(samples, step):
                 logits, pmask = out[0], out[1]
-                n_pts = batch.num_points
                 logits = np.asarray(logits[:n_pts], dtype=np.float32)
                 pmask = np.asarray(pmask[:n_pts]) > 0.5
-                label = np.asarray(batch.labels[:n_pts])
+                label = np.asarray(sample.labels[:n_pts])
                 if save_features_to and rep == 0:
                     # per-point FEATURE dump (reference run/evaluate.py:302-331:
                     # model output / fused feature / blended feat_ensemble),
@@ -226,6 +258,72 @@ class ZeroShotEvaluator:
                 log.info("mIoU=%.4f", cur)
         results["miou"] = results["accumulated"]
         return results
+
+    def _scene_outputs(self, samples, step):
+        """Yield (scene_idx, sample, step_outputs, n_points) — one scene at
+        a time on a single device, or device-groups under the eval mesh
+        (each group shares one bucketed cap signature; padding scenes are
+        dropped here so the protocol code never sees them)."""
+        need_model = self.mode != "fusion"
+        if self.mesh is None:
+            for i, sample in enumerate(samples):
+                batch = assemble_eval_batch([sample], self.dim,
+                                            need_model=need_model)
+                out = step(self.params, self.state, self.text, batch)
+                yield i, sample, out, batch.num_points
+            return
+
+        from ..data.sharded import stack_batches
+        from ..parallel.mesh import shard_batch
+        from ..sparse.geometry import GeometryCaps, _bucket, level_counts
+
+        def dummy():
+            from ..data.loaders import SceneSample
+            return SceneSample(
+                coords=np.zeros((1, 3), np.int32),
+                feats=np.ones((1, 3), np.float32),
+                labels=np.full(1, 255, np.int64),
+                inds_reconstruct=np.zeros(1, np.int64),
+                feat_3d=np.zeros((1, self.dim), np.float32),
+                feat_mask=np.ones(1, bool))
+
+        it = enumerate(samples)
+        done = False
+        while not done:
+            group = []
+            for _ in range(self.n_dp):
+                try:
+                    group.append(next(it))
+                except StopIteration:
+                    done = True
+                    break
+            if not group:
+                return
+            real = len(group)
+            while len(group) < self.n_dp:
+                group.append((-1, dummy()))
+            counts = [1] * 5
+            max_pts = 1
+            for _, s in group:
+                c4 = np.concatenate(
+                    [np.zeros((len(s.coords), 1), np.int64),
+                     s.coords.astype(np.int64)], axis=1)
+                for l, c in enumerate(level_counts(c4)):
+                    counts[l] = max(counts[l], c)
+                max_pts = max(max_pts, len(s.labels))
+            fixed = tuple(_bucket(c) for c in counts)
+            caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
+            pcap = _bucket(max_pts)
+            batches = stack_batches([
+                assemble_eval_batch([s], self.dim, caps=caps, point_cap=pcap,
+                                    need_model=need_model)
+                for _, s in group])
+            n_pts = [len(s.labels) for _, s in group]
+            sharded = shard_batch(self.mesh, batches)
+            out = step(self.params, self.state, self.text, sharded)
+            for d in range(real):
+                i, s = group[d]
+                yield i, s, tuple(np.asarray(o[d]) for o in out), n_pts[d]
 
     def _visualize(self, i: int, sample, logits: np.ndarray,
                    label: np.ndarray, pmask: np.ndarray, keep=None,

@@ -123,3 +123,14 @@ def test_fusion_eval_marks_no_feature_points(synth_root):
     ev = ZeroShotEvaluator(cfg, text_features=text)
     results = ev.run()
     assert 0.0 <= results["miou"] < 0.5
+
+
+def test_fusion_eval_sharded_matches_single(synth_root):
+    """data_parallel>1: one scene per device, identical results to the
+    single-device protocol (reference's scaffolded multi-GPU eval)."""
+    d3, dfeat = synth_root
+    text = class_prototypes(20, 96)
+    single = ZeroShotEvaluator(make_cfg(d3, dfeat), text_features=text).run()
+    cfg = make_cfg(d3, dfeat, data_parallel=2)
+    sharded = ZeroShotEvaluator(cfg, text_features=text).run()
+    assert sharded["miou"] == pytest.approx(single["miou"], abs=1e-6)
