@@ -163,8 +163,9 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
         stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
 
 
-def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1):
-    """Start + wait the three window DMAs for tile t; write f32 transposed
+def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
+                  classes=tuple(range(NCLASS))):
+    """Start + wait the window DMAs for tile t; write f32 transposed
     windows into the winT scratch ref (refs support the dynamic group-base
     slicing the fast-path gather needs).
 
@@ -174,30 +175,33 @@ def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1):
     (_gather_stack translates indices accordingly). For C >= 128 the slab is
     the raw (WIN, C) row range.
 
+    ``classes`` selects which dx-class windows to load (a class-split
+    backward call loads only its own); winT slot i holds classes[i].
+
     ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands are
     lane-padded to 128 in SMEM and blow the 1MB budget."""
     cps = []
-    for c in range(NCLASS):
+    for i, c in enumerate(classes):
         if P > 1:
             start = pl.multiple_of(ws_ref[t * NCLASS + c] // P, 16)
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, WIN // P)], win_scratch.at[c],
-                sems.at[c])
+                x_hbm.at[pl.ds(start, WIN // P)], win_scratch.at[i],
+                sems.at[i])
         else:
             start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, WIN)], win_scratch.at[c], sems.at[c])
+                x_hbm.at[pl.ds(start, WIN)], win_scratch.at[i], sems.at[i])
         cp.start()
         cps.append(cp)
-    for c in range(NCLASS):
-        cps[c].wait()
+    for i in range(len(classes)):
+        cps[i].wait()
         if P > 1:
-            T = win_scratch[c].T.astype(jnp.float32)  # (128, WIN/P)
+            T = win_scratch[i].T.astype(jnp.float32)  # (128, WIN/P)
             for p in range(P):
-                winT_ref[c, :, p * (WIN // P):(p + 1) * (WIN // P)] = \
+                winT_ref[i, :, p * (WIN // P):(p + 1) * (WIN // P)] = \
                     T[p * C:(p + 1) * C, :]
         else:
-            winT_ref[c] = win_scratch[c].T.astype(jnp.float32)
+            winT_ref[i] = win_scratch[i].T.astype(jnp.float32)
 
 
 def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
@@ -248,11 +252,23 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
 
 
 def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
-                    P: int = 1):
+                    P: int = 1, classes: Optional[Tuple[int, ...]] = None):
     """Fused backward: gathers G_k = g[fwd[k]] once per offset and emits
     dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout).
-    P phases pack the cotangent windows when Cout < 128."""
+    P phases pack the cotangent windows when Cout < 128.
+
+    ``classes``: restrict the call to offsets of these dx classes (the
+    caller slices lidx/wflipT to the matching offset subset and K is the
+    subset size). Only that many windows are DMA'd and the dW accumulator
+    shrinks by the same factor — this is how the 256x256 level-4 convs fit
+    the scoped-VMEM budget (one call per class, partial dx summed)."""
     k_class = tuple(int(v) for v in k_class)
+    if classes is None:
+        classes = tuple(range(NCLASS))
+    nwin = len(classes)
+    # winT slot of each offset in this call
+    slot = {c: i for i, c in enumerate(classes)}
+    local_class = tuple(slot[c] for c in k_class)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref,
                dw_ref, win, winT, stack, acc, sems):
@@ -262,9 +278,10 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        _load_windows(ws_ref, t, g_hbm, win, winT, sems, Cout, P)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, Cout, stack,
-                      P)
+        _load_windows(ws_ref, t, g_hbm, win, winT, sems, Cout, P,
+                      classes=classes)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, local_class, K, Cout,
+                      stack, P)
         # canonical orientations (see fwd kernel note)
         dxT = jax.lax.dot_general(
             wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
@@ -301,12 +318,12 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((NCLASS, WIN // P, 128 if P > 1 else Cout),
+                    pltpu.VMEM((nwin, WIN // P, 128 if P > 1 else Cout),
                                jnp.bfloat16),
-                    pltpu.VMEM((NCLASS, Cout, WIN), jnp.float32),
+                    pltpu.VMEM((nwin, Cout, WIN), jnp.float32),
                     pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, C), jnp.float32),
-                    pltpu.SemaphoreType.DMA((NCLASS,)),
+                    pltpu.SemaphoreType.DMA((nwin,)),
                 ],
             ),
             out_shape=[
@@ -324,8 +341,8 @@ def _fwd_cached(K, C, Cout, k_class, P=1):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cached(K, C, Cout, k_class, P=1):
-    return make_bwd_kernel(K, C, Cout, k_class, P)
+def _bwd_cached(K, C, Cout, k_class, P=1, classes=None):
+    return make_bwd_kernel(K, C, Cout, k_class, P, classes)
 
 
 def _spill_rows(spill_tiles):
@@ -415,16 +432,37 @@ def _wconv_bwd(res, g):
     w_flip = jnp.take(w, flip_perm, axis=0)
     # w_flip_t (Cp, K*Con): row c, col k*Con+o = W[flip(k), c, o]
     w_flip_p = jnp.pad(w_flip, ((0, 0), (0, Cp - C), (0, Con - Cout)))
-    wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Con)
-    call = _bwd_cached(K, Cp, Con, _static_k_class(K), P)
     xb = x.astype(jnp.bfloat16)
     xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
-    dx_p, dw_acc = call(xpad, gn, wflipT.astype(jnp.bfloat16), win_start,
-                        g0pack, lidx)
+    k_class = _static_k_class(K)
+    if P == 1 and Cp * Con > 128 * 256:
+        # wide channels (the 256x256 level-4 convs): one call per dx class
+        # — each loads only its own window and carries a K/3-sized dW
+        # accumulator, fitting the scoped-VMEM budget (module docstring)
+        dx_p = None
+        dw_parts = []
+        for cls in range(NCLASS):
+            ks = [k for k in range(K) if k_class[k] == cls]
+            assert ks == list(range(ks[0], ks[0] + len(ks))), ks
+            sub = slice(ks[0], ks[0] + len(ks))
+            wflipT_c = jnp.transpose(w_flip_p[sub], (1, 0, 2)).reshape(
+                Cp, len(ks) * Con)
+            call = _bwd_cached(len(ks), Cp, Con,
+                               tuple(k_class[k] for k in ks), P, (cls,))
+            dxc, dwc = call(xpad, gn, wflipT_c.astype(jnp.bfloat16),
+                            win_start, g0pack, lidx[:, sub, :])
+            dx_p = dxc if dx_p is None else dx_p + dxc
+            dw_parts.append(dwc.reshape(len(ks), Con, Cp))
+        dw_acc = jnp.concatenate(dw_parts, axis=0)
+    else:
+        wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Con)
+        call = _bwd_cached(K, Cp, Con, k_class, P)
+        dx_p, dw_acc = call(xpad, gn, wflipT.astype(jnp.bfloat16), win_start,
+                            g0pack, lidx)
+        dw_acc = dw_acc.reshape(K, Con, Cp)
     dx = dx_p[:, :C]
-    # dw_acc[k*Con+o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
-    dw_flip = jnp.transpose(
-        dw_acc.reshape(K, Con, Cp), (0, 2, 1))[:, :C, :Cout]
+    # dw_acc[k, o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
+    dw_flip = jnp.transpose(dw_acc, (0, 2, 1))[:, :C, :Cout]
 
     # --- spill corrections (additive; kernel contributed zero there) ---
     rows = _spill_rows(spill_tiles)

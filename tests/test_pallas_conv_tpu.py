@@ -39,7 +39,8 @@ def real_plan():
     return plan, wp, cap, num
 
 
-@pytest.mark.parametrize("C,Cout", [(128, 96), (32, 32), (96, 64)])
+@pytest.mark.parametrize("C,Cout", [(128, 96), (32, 32), (96, 64),
+                                    (256, 256)])
 def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
     plan, wp, cap, num = real_plan
     rng = np.random.default_rng(0)
@@ -56,8 +57,18 @@ def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
 
     out = np.asarray(windowed_sparse_conv(xb, w, fp, *args), np.float32)
     ref = np.asarray(sparse_conv(xb, w, fwd, fp), np.float32)
-    if C >= 128:
+    if C == 128:
         np.testing.assert_array_equal(out[:num], ref[:num])
+    elif C > 128:
+        # one kernel GEMM contracts K*C > 3456 terms; vs the XLA 27-step
+        # scan the f32 accumulation order differs, so rare outputs land one
+        # bf16 ulp apart — at the scale of the ROW's accumulation, which for
+        # near-cancellation sums is large relative to the tiny result.
+        # Measured at (256, 256): 580 / 13.7M elements, d <= 0.0064*rowmax.
+        d = np.abs(out[:num] - ref[:num])
+        rowscale = np.abs(ref[:num]).max(axis=1, keepdims=True)
+        assert (d > rowscale * 2.0 ** -7).sum() == 0
+        assert (d > 0).mean() < 1e-4
     else:
         # phase-packed narrow channels accumulate the K*C contraction in a
         # different f32 order than the XLA 27-step scan: tiny reordering
@@ -79,9 +90,11 @@ def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
     gx0, gw0 = jax.grad(loss_x, (0, 1))(xb, w)
     gx1np = np.asarray(gx1, np.float32)[:num]
     gx0np = np.asarray(gx0, np.float32)[:num]
-    if C >= 128 and Cout >= 128:
+    if C == 128 and Cout == 128:
         np.testing.assert_array_equal(gx1np, gx0np)
     else:
+        # class-split backward (wide channels) / phase packing (narrow):
+        # different f32 accumulation order, same pair set
         denom_x = np.abs(gx0np).max()
         assert np.abs(gx1np - gx0np).max() / denom_x < 1e-2
     # dW differs only by f32 summation order (per-tile kernel accumulator vs
