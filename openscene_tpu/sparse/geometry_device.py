@@ -62,7 +62,7 @@ def _keys_of(coords, num):
     return jnp.where(valid, hi, _KMAX), jnp.where(valid, lo, _KMAX), valid
 
 
-def _lower_bound(kh, kl, ph, pl):
+def _lower_bound(kh, kl, ph, pl, chunk: int = 1 << 18):
     """First index where (kh, kl) >= (ph, pl).
 
     TPU-shaped search: a per-element binary search gathers one element per
@@ -71,6 +71,11 @@ def _lower_bound(kh, kl, ph, pl):
     against 128 top pivots, then two 128-wide ROW gathers (the fast gather
     path) + lane-reduced compares.  Exact lower bound for n <= 128^3 (2M),
     zero element gathers.
+
+    Probes stream through the tree in ``chunk``-sized blocks (lax.map):
+    the search materializes (probes, 128) compare operands, which at
+    bench scale (25 stem columns x 1.1M rows = 28M probes) would otherwise
+    be a 13GB temp — the blocks bound it at ~130MB.
 
     Keys must be sorted; sentinel-padded tails (KMAX) sort last and never
     count as < probe for valid probes."""
@@ -92,23 +97,34 @@ def _lower_bound(kh, kl, ph, pl):
     def lt(h, l, ph_, pl_):
         return (h < ph_) | ((h == ph_) & (l < pl_))
 
+    def search(phc, plc):
+        c1 = jnp.sum(lt(p1h[None, :], p1l[None, :], phc[:, None],
+                        plc[:, None]), axis=1).astype(jnp.int32)
+        j = jnp.clip(c1 - 1, 0, B - 1)
+        r2h = jnp.take(p2h, j, axis=0)
+        r2l = jnp.take(p2l, j, axis=0)
+        c2 = jnp.sum(lt(r2h, r2l, phc[:, None], plc[:, None]),
+                     axis=1).astype(jnp.int32)
+        m = jnp.minimum(j * B + jnp.clip(c2 - 1, 0, B - 1), nb - 1)
+        r3h = jnp.take(a3h, m, axis=0)
+        r3l = jnp.take(a3l, m, axis=0)
+        c3 = jnp.sum(lt(r3h, r3l, phc[:, None], plc[:, None]),
+                     axis=1).astype(jnp.int32)
+        pos = jnp.where(c1 == 0, 0, m * B + c3)
+        return jnp.minimum(pos, n)
+
     shape = ph.shape
     ph = ph.reshape(-1)
     pl = pl.reshape(-1)
-    c1 = jnp.sum(lt(p1h[None, :], p1l[None, :], ph[:, None], pl[:, None]),
-                 axis=1).astype(jnp.int32)
-    j = jnp.clip(c1 - 1, 0, B - 1)
-    r2h = jnp.take(p2h, j, axis=0)
-    r2l = jnp.take(p2l, j, axis=0)
-    c2 = jnp.sum(lt(r2h, r2l, ph[:, None], pl[:, None]),
-                 axis=1).astype(jnp.int32)
-    m = jnp.minimum(j * B + jnp.clip(c2 - 1, 0, B - 1), nb - 1)
-    r3h = jnp.take(a3h, m, axis=0)
-    r3l = jnp.take(a3l, m, axis=0)
-    c3 = jnp.sum(lt(r3h, r3l, ph[:, None], pl[:, None]),
-                 axis=1).astype(jnp.int32)
-    pos = jnp.where(c1 == 0, 0, m * B + c3)
-    return jnp.minimum(pos, n).reshape(shape)
+    m_probes = ph.shape[0]
+    if m_probes <= chunk:
+        return search(ph, pl).reshape(shape)
+    nc = -(-m_probes // chunk)
+    cpad = nc * chunk - m_probes
+    ph2 = jnp.pad(ph, (0, cpad)).reshape(nc, chunk)
+    pl2 = jnp.pad(pl, (0, cpad)).reshape(nc, chunk)
+    pos = jax.lax.map(lambda t: search(t[0], t[1]), (ph2, pl2))
+    return pos.reshape(-1)[:m_probes].reshape(shape)
 
 
 def _null_rows(shape, num, cap: int):
