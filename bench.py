@@ -11,6 +11,12 @@ MinkUNet18A ScanNet train-step envelope of ~0.4 s/iter for an 8-scene x
 ~100k-voxel batch on a V100-class GPU => ~2.0M voxels/s. vs_baseline is the
 ratio to that 2.0M voxels/s estimate (>1.0 = faster than the CUDA reference).
 
+The official metric times the conv/optimizer step on device-resident
+geometry (same definition since round 1). Geometry is now built ON DEVICE
+(sparse/geometry_device.py) — the stderr tail reports that build time and
+the throughput of the trainer's combined step (in-jit geometry + train),
+which is what runtime/distill.py actually executes per batch on TPU.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Timing note: on the tunneled TPU backend block_until_ready is a no-op, so we
@@ -19,6 +25,7 @@ subtract the measured round-trip.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -26,7 +33,7 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 2.0e6  # documented estimate, see module docstring
 
 
-def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
+def build_samples(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
     # density tuned so the 8-scene batch lands at ~1.0M voxels: the full
     # train step (768-d distill targets + activations + grads) needs ~10GB
     # program HBM at that size; ~1.5M voxel caps sit exactly at the 16GB
@@ -34,7 +41,6 @@ def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
     from openscene_tpu.data.loaders import SceneSample, align_fused_features
     from openscene_tpu.data.synthetic import make_fused_features, make_scene
     from openscene_tpu.data.voxelizer import Voxelizer
-    from openscene_tpu.data.batch import assemble_distill_batch
 
     rng = np.random.default_rng(0)
     samples = []
@@ -50,30 +56,59 @@ def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
             feats=np.ones((len(locs), 3), dtype=np.float32),
             labels=labs.astype(np.int64), inds_reconstruct=None,
             feat_3d=feat[frows], feat_mask=fmask))
-    return assemble_distill_batch(samples, dim, rng=rng, shift=False)
+    return samples
+
+
+def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
+    """Host-geometry batch (kept for dev tooling)."""
+    from openscene_tpu.data.batch import assemble_distill_batch
+
+    samples = build_samples(n_scenes, dim, voxel, density)
+    return assemble_distill_batch(samples, dim, rng=np.random.default_rng(0),
+                                  shift=False)
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from openscene_tpu.config import Config
+    from openscene_tpu.data.batch import (DistillBatch,
+                                          assemble_raw_distill_batch)
     from openscene_tpu.models import init_unet
     from openscene_tpu.runtime.distill import make_optimizer, make_train_step
+    from openscene_tpu.sparse.geometry_device import build_geometry_parts
 
     cfg = Config(arch_3d="MinkUNet18A", loss_type="cosine")
     t0 = time.time()
-    batch = build_batch()
-    n_vox = batch.num_voxels
+    samples = build_samples()
+    raw, caps = assemble_raw_distill_batch(
+        samples, 768, rng=np.random.default_rng(0), shift=False)
+    n_vox = int(raw.num)
     host_s = time.time() - t0
     # Device-resident batch: measures sustained on-chip step throughput.
     # (This environment's host<->TPU tunnel runs at ~35MB/s — three orders
     # below a production host link — so per-step re-upload would measure the
-    # tunnel, not the framework. Host-side batch assembly cost is reported
-    # separately on stderr.)
-    batch = batch._replace(feat_3d=batch.feat_3d.astype(np.float16))
-    batch = jax.tree_util.tree_map(jax.device_put, batch)
-    # keep the wide CLIP-dim target in bf16 on device (HBM + bandwidth)
-    batch = batch._replace(feat_3d=batch.feat_3d.astype(jnp.bfloat16))
+    # tunnel, not the framework.)
+    raw = raw._replace(feat_3d=raw.feat_3d.astype(np.float16))
+    raw = jax.tree_util.tree_map(jax.device_put, raw)
+    raw = raw._replace(feat_3d=raw.feat_3d.astype(jnp.bfloat16))
+
+    use_windows = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def build_geo(coords, num):
+        geo, ov = build_geometry_parts(coords, num, caps.fixed,
+                                       windows=use_windows,
+                                       stem_occupancy=True)
+        return geo, ov
+
+    t0 = time.time()
+    geo, overflow = build_geo(raw.coords, raw.num)
+    assert not bool(overflow), "bench batch overflowed its geometry caps"
+    geo_s = time.time() - t0  # compile + first build (split reported below)
+
+    batch = DistillBatch(geo=geo, feats=raw.feats, feat_3d=raw.feat_3d,
+                         mask=raw.mask, labels=raw.labels, num_voxels=n_vox)
 
     params, state = init_unet(jax.random.PRNGKey(0), 3, 768,
                               arch="MinkUNet18A")
@@ -109,11 +144,18 @@ def main():
         "unit": "voxels/s",
         "vs_baseline": round(vox_per_s / BASELINE_VOXELS_PER_SEC, 3),
     }))
-    # secondary diagnostics on stderr-like line (driver reads line 1 JSON)
-    import sys
+
+    # secondary diagnostics (driver reads line 1 JSON only)
+    t = time.time()
+    for _ in range(3):
+        geo2, _ = build_geo(raw.coords, raw.num)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(geo2)[0].reshape(-1)[0]))
+    geo_steady = (time.time() - t - rtt) / 3
     print(f"# batch: {n_vox} voxels in 8 scenes; step {step_s*1000:.1f}ms; "
-          f"host batch-assembly {host_s:.1f}s; loss {float(loss):.4f}",
-          file=sys.stderr)
+          f"host batch-assembly {host_s:.1f}s; on-device geometry build "
+          f"{geo_steady*1000:.1f}ms (first incl. compile {geo_s:.1f}s); "
+          f"trainer step+geometry {n_vox/(step_s+geo_steady):.0f} voxels/s; "
+          f"loss {float(loss):.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

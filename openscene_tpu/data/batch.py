@@ -30,7 +30,8 @@ from .loaders import SceneSample
 class DistillBatch(NamedTuple):
     geo: UNetGeometry
     feats: np.ndarray      # (cap0, 3) float32 input features
-    feat_3d: np.ndarray    # (cap0, D) float32 fused target features
+    feat_3d: np.ndarray    # (cap0, D) float16 fused target features (storage
+    # dtype, fusion_util.py:87; cast to compute dtype on device)
     mask: np.ndarray       # (cap0,) float32 1.0 where a fused target exists
     labels: np.ndarray     # (cap0,) int32 voxel labels (for debug/val viz)
     num_voxels: int
@@ -103,14 +104,17 @@ def assemble_distill_batch(samples: Sequence[SceneSample], dim: int,
     cap0 = geo.levels[0].cap
 
     feats = np.zeros((cap0, 3), dtype=np.float32)
-    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    # fp16 end to end: fused features are STORED fp16 (reference
+    # fusion_util.py:87) and this host lacks fast fp16 conversion (software
+    # astype measured ~10MB/s) — never widen on the host, cast on device
+    feat_3d = np.zeros((cap0, dim), dtype=np.float16)
     mask = np.zeros(cap0, dtype=np.float32)
     labels = np.full(cap0, 255, dtype=np.int32)
     feats[:n] = np.concatenate([s.feats for s in samples])[perm]
     labels[:n] = np.concatenate([s.labels for s in samples])[perm]
     for b, s in enumerate(samples):
         rows = inv[offs[b] + np.flatnonzero(s.feat_mask)]
-        feat_3d[rows] = s.feat_3d.astype(np.float32)
+        feat_3d[rows] = s.feat_3d
         mask[rows] = 1.0
     return DistillBatch(geo=geo, feats=feats, feat_3d=feat_3d, mask=mask,
                         labels=labels, num_voxels=n)
@@ -144,14 +148,14 @@ def assemble_raw_distill_batch(samples: Sequence[SceneSample], dim: int,
     level0 = _pad_level(coords, cap0)
 
     feats = np.zeros((cap0, 3), dtype=np.float32)
-    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    feat_3d = np.zeros((cap0, dim), dtype=np.float16)  # fp16 end to end
     mask = np.zeros(cap0, dtype=np.float32)
     labels = np.full(cap0, 255, dtype=np.int32)
     feats[:n] = np.concatenate([s.feats for s in samples])[perm]
     labels[:n] = np.concatenate([s.labels for s in samples])[perm]
     for b, s in enumerate(samples):
         rows = inv[offs[b] + np.flatnonzero(s.feat_mask)]
-        feat_3d[rows] = s.feat_3d.astype(np.float32)
+        feat_3d[rows] = s.feat_3d
         mask[rows] = 1.0
     return RawDistillBatch(coords=level0.coords, num=np.int32(n),
                            feats=feats, feat_3d=feat_3d, mask=mask,
@@ -181,11 +185,11 @@ def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,
 
     feats = np.zeros((cap0, 3), dtype=np.float32)
     feats[:n] = np.concatenate([s.feats for s in samples])[perm]
-    feat_3d = np.zeros((cap0, dim), dtype=np.float32)
+    feat_3d = np.zeros((cap0, dim), dtype=np.float16)  # fp16 end to end
     mask = np.zeros(cap0, dtype=np.float32)
     if samples[0].feat_3d is not None:
         feat_3d[:n] = np.concatenate(
-            [s.feat_3d.astype(np.float32) for s in samples])[perm]
+            [np.asarray(s.feat_3d, dtype=np.float16) for s in samples])[perm]
         mask[:n] = np.concatenate([s.feat_mask for s in samples])[perm]
 
     pts = np.concatenate([s.labels for s in samples])

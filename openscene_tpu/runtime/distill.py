@@ -134,6 +134,9 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
 
         def loss_fn(p):
             x = batch.feats.astype(cdtype)
+            # targets ship fp16 from the host (storage dtype, and host fp16
+            # conversion is software-slow); compute in cdtype like before
+            target = batch.feat_3d.astype(cdtype)
             if loss_kind == "cosine" and getattr(cfg, "memory_efficient_loss",
                                                  False):
                 # pre-head features + algebraic head: never materializes the
@@ -143,15 +146,14 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
                 feats, ns = apply_unet(p, state, x, geo, arch=arch,
                                        train=True, constant_input=const_in,
                                        return_prehead=True)
-                l = cosine_head_loss(feats, p["final"], batch.feat_3d,
-                                     batch.mask)
+                l = cosine_head_loss(feats, p["final"], target, batch.mask)
                 return l, ns
             out, ns = apply_unet(p, state, x, geo, arch=arch,
                                  train=True, constant_input=const_in)
             if loss_kind == "cosine":
-                l = cosine_distill_loss(out, batch.feat_3d, batch.mask)
+                l = cosine_distill_loss(out, target, batch.mask)
             elif loss_kind == "l1":
-                l = l1_distill_loss(out, batch.feat_3d, batch.mask)
+                l = l1_distill_loss(out, target, batch.mask)
             else:
                 raise NotImplementedError(loss_kind)
             return l, ns

@@ -249,8 +249,12 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     windows (the host builder would fall back to the XLA path; inside a jit
     the caller must surface the flag and re-dispatch — see
     runtime/distill.py).  Differences from the host builder: the spill
-    bucket is a fixed ``spill_cap`` (default ntiles/8, the 10% host
-    fall-back threshold rounded up) instead of a measured power of two.
+    bucket is a fixed ``spill_cap`` instead of a measured power of two.
+    Its size is a real cost: every conv's spill correction gathers +
+    scatters spill_cap*TILE rows regardless of actual spills (a ntiles/8
+    default measured ~2x on the whole train step vs the host's measured
+    buckets).  Real scenes spill ~2-3% of tiles (scripts/dev_window_stats);
+    default ~3.1% headroom, overflow -> trainer re-runs via the host path.
     """
     from .pallas_conv import INVALID, NCLASS, TILE, WIN, WindowPlan
 
@@ -260,7 +264,7 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
     ntiles = cap // TILE
     if spill_cap is None:
-        spill_cap = max(8, 1 << (int((ntiles + 7) // 8 - 1).bit_length()))
+        spill_cap = max(8, 1 << (int((ntiles + 31) // 32 - 1).bit_length()))
     f = fwd.reshape(K, ntiles, TILE)
     valid = f < num
     imax = jnp.int32(np.iinfo(np.int32).max)
