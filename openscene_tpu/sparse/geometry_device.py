@@ -137,6 +137,65 @@ def _null_rows(shape, num, cap: int):
             + (flat % pad).astype(jnp.int32)).reshape(shape)
 
 
+def _zmask(kh, kl, num, reach: int = 4):
+    """(cap,) int32: bit d (1..reach) set iff a voxel exists at z + d in the
+    same (b, x, y) column; bit 0 always set (self).
+
+    Rows of a column are consecutive in the lex sort with consecutive-or-
+    gapped z, so 'z + d exists' is a shifted compare against row i + s for
+    s <= d — no gathers."""
+    cap = kh.shape[0]
+    zf = kl & jnp.int32(_F - 1)               # z + H field
+    colid_l = kl >> 16                        # y + H field
+    mask = jnp.ones((cap,), jnp.int32)
+    for s in range(1, reach + 1):
+        sh_h = jnp.concatenate([kh[s:], jnp.full((s,), _KMAX, jnp.int32)])
+        sh_cl = jnp.concatenate([colid_l[s:],
+                                 jnp.full((s,), -1, jnp.int32)])
+        sh_z = jnp.concatenate([zf[s:], jnp.full((s,), -9, jnp.int32)])
+        same = (sh_h == kh) & (sh_cl == colid_l)
+        d = sh_z - zf                         # >= s when same column
+        hit = same & (d <= reach) & (jnp.arange(cap, dtype=jnp.int32) + s
+                                     < num)
+        mask = mask | jnp.where(hit, jnp.int32(1) << jnp.clip(d, 0, reach),
+                                0)
+    return mask
+
+
+def _column_probes(kh, kl, num, cols, r):
+    """One anchored search + 3 element gathers per (dx, dy) column.
+
+    Anchor = lower bound of (col, z - r); every existing target z + dz
+    (|dz| <= r <= 2) is then within the anchor's 4-bit forward zmask, and
+    its row is pos + popcount(zmask below delta).  Returns per-column
+    (pos, anchor_kh, anchor_kl, anchor_zmask, valid_anchor)."""
+    cap = kh.shape[0]
+    zm = _zmask(kh, kl, num)
+    dhi = np.array([c[0] for c in cols], np.int32)
+    dlo = np.array([c[1] * _F - r for c in cols], np.int32)
+    ph = kh[None, :] + jnp.asarray(dhi)[:, None]          # (G, cap)
+    pl = kl[None, :] + jnp.asarray(dlo)[:, None]
+    pos = _lower_bound(kh, kl, ph.reshape(-1),
+                       pl.reshape(-1)).reshape(len(cols), cap)
+    i = jnp.minimum(pos, cap - 1)
+    return (pos, jnp.take(kh, i), jnp.take(kl, i), jnp.take(zm, i),
+            i < num, zm)
+
+
+def _col_hits(g, dx, dy, dz, kh, kl, pos, a_kh, a_kl, a_zm, a_val, cap):
+    """(exists, row) of offset (dx, dy, dz) via column g's anchor."""
+    t_hi = kh + jnp.int32(dx)
+    t_lo = kl + jnp.int32(dy * _F + dz)
+    colmatch = a_val[g] & (a_kh[g] == t_hi) & ((a_kl[g] >> 16) == (t_lo >> 16))
+    delta = (t_lo & jnp.int32(_F - 1)) - (a_kl[g] & jnp.int32(_F - 1))
+    inrange = (delta >= 0) & (delta <= 4)
+    d = jnp.clip(delta, 0, 4)
+    exists = colmatch & inrange & (((a_zm[g] >> d) & 1) == 1)
+    below = a_zm[g] & ((jnp.int32(1) << d) - 1)
+    row = jnp.minimum(pos[g] + jax.lax.population_count(below), cap - 1)
+    return exists, row
+
+
 def build_self_plan_device(coords, num, kernel_size: int) -> ConvPlan:
     """Stride-1 stencil plan on one level: fwd[k, r] = row of
     (coord_r + offset_k), or a spread-null row when absent.
@@ -147,42 +206,62 @@ def build_self_plan_device(coords, num, kernel_size: int) -> ConvPlan:
     offsets = stencil_offsets(kernel_size)
     K = len(offsets)
     r = kernel_size // 2
-    win = 2 * r + 1
     kh, kl, valid = _keys_of(coords, num)
     rows = jnp.arange(cap, dtype=jnp.int32)
     nulls = _null_rows((K, cap), num, cap)
 
-    # group offsets by (dx, dy): one batched search per group at dz = -r,
-    # then all dz targets are inside the next 2r rows of the z-run
-    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()})
+    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()
+                   if (dx, dy) != (0, 0)})
     col_of = {c: g for g, c in enumerate(cols)}
-    G = len(cols)
-    dhi = np.array([c[0] for c in cols], np.int32)
-    dlo = np.array([c[1] * _F - r for c in cols], np.int32)
-    ph = kh[None, :] + jnp.asarray(dhi)[:, None]          # (G, cap)
-    pl = kl[None, :] + jnp.asarray(dlo)[:, None]
-    pos = _lower_bound(kh, kl, ph.reshape(-1),
-                       pl.reshape(-1)).reshape(G, cap)
-    wh, wl, wv = [], [], []
-    for j in range(win):
-        i = jnp.minimum(pos + j, cap - 1)                 # (G, cap)
-        wh.append(jnp.take(kh, i))
-        wl.append(jnp.take(kl, i))
-        wv.append(i < num)
+    pos, a_kh, a_kl, a_zm, a_val, zm = _column_probes(kh, kl, num, cols, r)
+
+    # own-column dz!=0 offsets: direct shifted-neighbor checks, no search
+    zf = kl & jnp.int32(_F - 1)
+    colid_l = kl >> 16
+
+    def own_neighbor(dz):
+        # the z+dz row (if it exists) is one of rows i+sign(dz)*s,
+        # s in 1..|dz| (column rows are consecutive, z strictly increasing)
+        ok = jnp.zeros((cap,), bool)
+        row = jnp.zeros((cap,), jnp.int32)
+        for s in range(1, abs(dz) + 1):
+            if dz > 0:
+                sh_h = jnp.concatenate(
+                    [kh[s:], jnp.full((s,), _KMAX, jnp.int32)])
+                sh_cl = jnp.concatenate(
+                    [colid_l[s:], jnp.full((s,), -1, jnp.int32)])
+                sh_z = jnp.concatenate(
+                    [zf[s:], jnp.full((s,), -9, jnp.int32)])
+                nrow = rows + s
+            else:
+                sh_h = jnp.concatenate(
+                    [jnp.full((s,), _KMAX, jnp.int32), kh[:-s]])
+                sh_cl = jnp.concatenate(
+                    [jnp.full((s,), -1, jnp.int32), colid_l[:-s]])
+                sh_z = jnp.concatenate(
+                    [jnp.full((s,), -9, jnp.int32), zf[:-s]])
+                nrow = rows - s
+            m = ((sh_h == kh) & (sh_cl == colid_l) & (sh_z == zf + dz)
+                 & (nrow >= 0) & (nrow < num))
+            ok = ok | m
+            row = jnp.where(m, jnp.clip(nrow, 0, cap - 1), row)
+        return ok, row
+
+    own = {dz: own_neighbor(dz) for dz in range(-r, r + 1) if dz != 0}
 
     fwd = []
     for k, (dx, dy, dz) in enumerate(offsets.tolist()):
-        if dx == 0 and dy == 0 and dz == 0:
-            fwd.append(jnp.where(valid, rows, nulls[k]))
+        if dx == 0 and dy == 0:
+            if dz == 0:
+                fwd.append(jnp.where(valid, rows, nulls[k]))
+            else:
+                ok, row = own[dz]
+                fwd.append(jnp.where(valid & ok, row, nulls[k]))
             continue
         g = col_of[(dx, dy)]
-        th = ph[g]
-        tl = kl + jnp.int32(dy * _F + dz)
-        hit = nulls[k]
-        for j in range(win):
-            m = valid & wv[j][g] & (wh[j][g] == th) & (wl[j][g] == tl)
-            hit = jnp.where(m, jnp.minimum(pos[g] + j, cap - 1), hit)
-        fwd.append(hit)
+        exists, row = _col_hits(g, dx, dy, dz, kh, kl, pos, a_kh, a_kl,
+                                a_zm, a_val, cap)
+        fwd.append(jnp.where(valid & exists, row, nulls[k]))
     return ConvPlan(fwd=jnp.stack(fwd), flip_perm=flip_permutation(offsets))
 
 
@@ -253,8 +332,9 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     Its size is a real cost: every conv's spill correction gathers +
     scatters spill_cap*TILE rows regardless of actual spills (a ntiles/8
     default measured ~2x on the whole train step vs the host's measured
-    buckets).  Real scenes spill ~2-3% of tiles (scripts/dev_window_stats);
-    default ~3.1% headroom, overflow -> trainer re-runs via the host path.
+    buckets).  Real scenes spill ~2-3% of tiles at WIN=512
+    (scripts/dev_window_stats); default ~3.1% headroom, overflow ->
+    trainer re-runs the batch via the host path.
     """
     from .pallas_conv import INVALID, NCLASS, TILE, WIN, WindowPlan
 
@@ -307,41 +387,60 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
 def build_stem_occupancy_device(coords, num, kernel_size: int = 5):
     """(K, cap) bf16 stencil occupancy — the only thing the k=5 stem needs
     for constant-input models (occupancy GEMM, models/sparse_unet.py) —
-    without ever materializing the (K, cap) int32 index plan."""
+    without ever materializing the (K, cap) int32 index plan.
+
+    Same anchored zmask scheme as build_self_plan_device (3 gathers per
+    column instead of 2*(2r+1)); own-column bits come straight from the
+    forward/backward shifted compares."""
     cap = coords.shape[0]
     offsets = stencil_offsets(kernel_size)
     r = kernel_size // 2
-    win = 2 * r + 1
+    assert r <= 2, kernel_size  # zmask reach covers 2r <= 4
     kh, kl, valid = _keys_of(coords, num)
 
-    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()})
+    cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()
+                   if (dx, dy) != (0, 0)})
     col_of = {c: g for g, c in enumerate(cols)}
-    G = len(cols)
-    dhi = np.array([c[0] for c in cols], np.int32)
-    dlo = np.array([c[1] * _F - r for c in cols], np.int32)
-    ph = kh[None, :] + jnp.asarray(dhi)[:, None]
-    pl = kl[None, :] + jnp.asarray(dlo)[:, None]
-    pos = _lower_bound(kh, kl, ph.reshape(-1),
-                       pl.reshape(-1)).reshape(G, cap)
-    wh, wl, wv = [], [], []
-    for j in range(win):
-        i = jnp.minimum(pos + j, cap - 1)
-        wh.append(jnp.take(kh, i))
-        wl.append(jnp.take(kl, i))
-        wv.append(i < num)
+    pos, a_kh, a_kl, a_zm, a_val, zm = _column_probes(kh, kl, num, cols, r)
+
+    zf = kl & jnp.int32(_F - 1)
+    colid_l = kl >> 16
+    rows = jnp.arange(cap, dtype=jnp.int32)
+
+    def own_exists(dz):
+        ok = jnp.zeros((cap,), bool)
+        for s in range(1, abs(dz) + 1):
+            if dz > 0:
+                sh_h = jnp.concatenate(
+                    [kh[s:], jnp.full((s,), _KMAX, jnp.int32)])
+                sh_cl = jnp.concatenate(
+                    [colid_l[s:], jnp.full((s,), -1, jnp.int32)])
+                sh_z = jnp.concatenate(
+                    [zf[s:], jnp.full((s,), -9, jnp.int32)])
+                nrow = rows + s
+            else:
+                sh_h = jnp.concatenate(
+                    [jnp.full((s,), _KMAX, jnp.int32), kh[:-s]])
+                sh_cl = jnp.concatenate(
+                    [jnp.full((s,), -1, jnp.int32), colid_l[:-s]])
+                sh_z = jnp.concatenate(
+                    [jnp.full((s,), -9, jnp.int32), zf[:-s]])
+                nrow = rows - s
+            ok = ok | ((sh_h == kh) & (sh_cl == colid_l) & (sh_z == zf + dz)
+                       & (nrow >= 0) & (nrow < num))
+        return ok
+
+    own = {dz: own_exists(dz) for dz in range(-r, r + 1) if dz != 0}
 
     occ = []
     for (dx, dy, dz) in offsets.tolist():
-        if dx == 0 and dy == 0 and dz == 0:
-            occ.append(valid)
+        if dx == 0 and dy == 0:
+            occ.append(valid if dz == 0 else (own[dz] & valid))
             continue
         g = col_of[(dx, dy)]
-        th = ph[g]
-        tl = kl + jnp.int32(dy * _F + dz)
-        hit = jnp.zeros((cap,), bool)
-        for j in range(win):
-            hit = hit | (wv[j][g] & (wh[j][g] == th) & (wl[j][g] == tl))
-        occ.append(hit & valid)
+        exists, _ = _col_hits(g, dx, dy, dz, kh, kl, pos, a_kh, a_kl,
+                              a_zm, a_val, cap)
+        occ.append(exists & valid)
     return jnp.stack(occ).astype(jnp.bfloat16)
 
 

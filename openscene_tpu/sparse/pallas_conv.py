@@ -43,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .types import stencil_offsets
 
 TILE = 128
+# WIN=384 was tried (25% fewer crossbar passes; spills 2.5-6.4% vs 2-2.9%,
+# scripts/dev_window_stats.py) and measured NET WORSE in the full train
+# step: 2510ms vs 2201ms at bench scale — the larger spill buckets the
+# extra spills force (every conv pays gather+GEMM+scatter over the whole
+# static bucket) exceed the gather savings, and the core itself gained
+# nothing measurable. Keep 512.
 WIN = 512
 NCLASS = 3  # dx = -1 / 0 / +1 window classes
 INVALID = WIN  # any local index >= WIN means "missing neighbor"
