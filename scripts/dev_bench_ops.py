@@ -117,12 +117,17 @@ def main():
             w = rand((27, C, Cout), jnp.float32)
             g = rand((cap, Cout))
 
-            def xla_f(x, w):
-                return sparse_conv(x, w, plan.fwd, plan.flip_perm)
+            # closures over device arrays bake them into the HLO as
+            # constants and blow the remote-compile body limit at L0 —
+            # everything big goes in as an argument
+            fp = plan.flip_perm
 
-            def xla_fb(x, w):
+            def xla_f(x, w, fwd):
+                return sparse_conv(x, w, fwd, fp)
+
+            def xla_fb(x, w, fwd, g):
                 def loss(x, w):
-                    return (sparse_conv(x, w, plan.fwd, plan.flip_perm)
+                    return (sparse_conv(x, w, fwd, fp)
                             .astype(jnp.float32)
                             * g.astype(jnp.float32)).sum()
                 return jax.grad(loss, argnums=(0, 1))(x, w)
@@ -130,24 +135,28 @@ def main():
             if args.skip_xla:
                 row = f"L{lvl} conv {C:3d}x{Cout:3d}"
             else:
-                t_f = timeit(jax.jit(xla_f), (x, w), args.iters)
-                t_fb = timeit(jax.jit(xla_fb), (x, w), args.iters)
+                t_f = timeit(jax.jit(xla_f), (x, w, plan.fwd), args.iters)
+                t_fb = timeit(jax.jit(xla_fb), (x, w, plan.fwd, g),
+                              args.iters)
                 row = (f"L{lvl} conv {C:3d}x{Cout:3d} xla: f {t_f*1e3:7.2f}ms  "
                        f"f+b {t_fb*1e3:7.2f}ms")
             if wplan is not None:
-                def win_f(x, w):
-                    return windowed_sparse_conv(
-                        x, w, plan.flip_perm, wplan.win_start, wplan.g0pack,
-                        wplan.lidx, wplan.spill_tiles, wplan.spill_fwd)
+                wargs = (wplan.win_start, wplan.g0pack, wplan.lidx,
+                         wplan.spill_tiles, wplan.spill_fwd)
 
-                def win_fb(x, w):
+                def win_f(x, w, *wa):
+                    return windowed_sparse_conv(x, w, fp, *wa)
+
+                def win_fb(x, w, g, *wa):
                     def loss(x, w):
-                        return (win_f(x, w).astype(jnp.float32)
+                        return (windowed_sparse_conv(x, w, fp, *wa)
+                                .astype(jnp.float32)
                                 * g.astype(jnp.float32)).sum()
                     return jax.grad(loss, argnums=(0, 1))(x, w)
                 try:
-                    t_wf = timeit(jax.jit(win_f), (x, w), args.iters)
-                    t_wfb = timeit(jax.jit(win_fb), (x, w), args.iters)
+                    t_wf = timeit(jax.jit(win_f), (x, w) + wargs, args.iters)
+                    t_wfb = timeit(jax.jit(win_fb), (x, w, g) + wargs,
+                                   args.iters)
                     row += (f" | win: f {t_wf*1e3:7.2f}ms  "
                             f"f+b {t_wfb*1e3:7.2f}ms")
                 except Exception as e:
@@ -168,17 +177,17 @@ def main():
         w = rand((8, Cc, Cc), jnp.float32)
         g = rand((caps_t[e + 1], Cc))
 
-        def down_f(x, w):
+        def down_f(x, w, plan):
             return sparse_down_conv(x, w, plan)
 
-        def down_fb(x, w):
+        def down_fb(x, w, plan, g):
             def loss(x, w):
                 return (sparse_down_conv(x, w, plan).astype(jnp.float32)
                         * g.astype(jnp.float32)).sum()
             return jax.grad(loss, argnums=(0, 1))(x, w)
 
-        t_f = timeit(jax.jit(down_f), (x, w), args.iters)
-        t_fb = timeit(jax.jit(down_fb), (x, w), args.iters)
+        t_f = timeit(jax.jit(down_f), (x, w, plan), args.iters)
+        t_fb = timeit(jax.jit(down_fb), (x, w, plan, g), args.iters)
         print(f"E{e} down {Cc:3d}x{Cc:3d}: f {t_f*1e3:7.2f}ms  "
               f"f+b {t_fb*1e3:7.2f}ms", flush=True)
 
@@ -187,17 +196,17 @@ def main():
         wu = rand((8, Cu_in, Cu_out), jnp.float32)
         gu = rand((caps_t[e], Cu_out))
 
-        def up_f(xu, wu):
+        def up_f(xu, wu, plan):
             return sparse_up_conv(xu, wu, plan)
 
-        def up_fb(xu, wu):
+        def up_fb(xu, wu, plan, gu):
             def loss(xu, wu):
                 return (sparse_up_conv(xu, wu, plan).astype(jnp.float32)
                         * gu.astype(jnp.float32)).sum()
             return jax.grad(loss, argnums=(0, 1))(xu, wu)
 
-        t_f = timeit(jax.jit(up_f), (xu, wu), args.iters)
-        t_fb = timeit(jax.jit(up_fb), (xu, wu), args.iters)
+        t_f = timeit(jax.jit(up_f), (xu, wu, plan), args.iters)
+        t_fb = timeit(jax.jit(up_fb), (xu, wu, plan, gu), args.iters)
         print(f"E{e} up   {Cu_in:3d}x{Cu_out:3d}: f {t_f*1e3:7.2f}ms  "
               f"f+b {t_fb*1e3:7.2f}ms", flush=True)
 
