@@ -140,15 +140,23 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
 
 
 def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
-                  P: int = 1, out_dtype=jnp.bfloat16):
+                  P: int = 1, out_dtype=jnp.bfloat16, paired: bool = False):
     """Crossbar-gather every offset's (C, TILE) columns into stack_ref.
 
     Missing-neighbor validity is folded into the group selects (the sentinel
     maps hi outside every group).  Two dynamic-base variants (per-offset
     2-group spans, packed scalar bases) were measured SLOWER than this static
     loop on v5e Mosaic — dynamic lane-slices of the per-tile-written winT
-    scratch defeat the scheduler even though they win in isolation."""
+    scratch defeat the scheduler even though they win in isolation.
+
+    ``paired``: the window holds channel PAIRS bitpacked into f32 lanes
+    (caller bitcasts x (cap, C) bf16 -> (cap, C/2) f32), so the crossbar
+    moves HALF the sublanes; the pair is split after the gather with two
+    shift+bitcasts, and stack rows go [even channels | odd channels] per
+    offset (the caller permutes weight columns to match)."""
     G = WIN // 128
+    Cw = C // 2 if paired else C             # window sublane count
+    P2 = 2 if (paired and Cw % 128 != 0) else 1   # paired phase count
     for k in range(K):
         ik = lidx_blk[k]                     # (TILE,) int32
         val = ik < INVALID
@@ -157,20 +165,32 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
             # phase-packed window layout for C < 128 (see _load_windows):
             # window row r lives at packed position (r%P)*(WIN/P) + r//P
             ikc = (ikc % P) * (WIN // P) + ikc // P
-        lo = jnp.broadcast_to((ikc % 128).reshape(1, TILE), (C, TILE))
+        elif P2 > 1:
+            ikc = (ikc % P2) * (WIN // P2) + ikc // P2
+        lo = jnp.broadcast_to((ikc % 128).reshape(1, TILE), (Cw, TILE))
         hi = jnp.where(val, ikc // 128, G)   # invalid -> no group matches
         cls = k_class[k]
-        acc = jnp.zeros((C, TILE), jnp.float32)
+        acc = jnp.zeros((Cw, TILE), jnp.float32)
         for g in range(G):
             part = jnp.take_along_axis(winT_ref[cls, :, g*128:(g+1)*128],
                                        lo, axis=1)
-            sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (C, TILE))
+            sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (Cw, TILE))
             acc = jnp.where(sel, part, acc)
-        stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
+        if paired:
+            # even channel = low 16 bits (little-endian pair), odd = high;
+            # a bf16's f32 value is its bits in the f32 top half
+            u = jax.lax.bitcast_convert_type(acc, jnp.uint32)
+            v_even = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+            v_odd = jax.lax.bitcast_convert_type(
+                u & jnp.uint32(0xFFFF0000), jnp.float32)
+            stack_ref[k*C:k*C + Cw, :] = v_even.astype(out_dtype)
+            stack_ref[k*C + Cw:(k+1)*C, :] = v_odd.astype(out_dtype)
+        else:
+            stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
 
 
 def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
-                  classes=tuple(range(NCLASS))):
+                  classes=tuple(range(NCLASS)), paired: bool = False):
     """Start + wait the window DMAs for tile t; write f32 transposed
     windows into the winT scratch ref (refs support the dynamic group-base
     slicing the fast-path gather needs).
@@ -186,12 +206,21 @@ def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
 
     ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands are
     lane-padded to 128 in SMEM and blow the 1MB budget."""
+    Cw = C // 2 if paired else C
+    P2 = 2 if (paired and Cw % 128 != 0) else 1
     cps = []
     for i, c in enumerate(classes):
         if P > 1:
             start = pl.multiple_of(ws_ref[t * NCLASS + c] // P, 16)
             cp = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(start, WIN // P)], win_scratch.at[i],
+                sems.at[i])
+        elif P2 > 1:
+            # paired + 64 packed lanes: x is reshaped (cap/2, 128) f32;
+            # window row r lives in packed row (start+r)//2, half (r%2)
+            start = pl.multiple_of(ws_ref[t * NCLASS + c] // P2, 8)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, WIN // P2)], win_scratch.at[i],
                 sems.at[i])
         else:
             start = pl.multiple_of(ws_ref[t * NCLASS + c], 16)
@@ -206,19 +235,27 @@ def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
             for p in range(P):
                 winT_ref[i, :, p * (WIN // P):(p + 1) * (WIN // P)] = \
                     T[p * C:(p + 1) * C, :]
+        elif P2 > 1:
+            T = win_scratch[i].T  # (128, WIN/2) f32 packed pairs
+            for p in range(P2):
+                winT_ref[i, :, p * (WIN // P2):(p + 1) * (WIN // P2)] = \
+                    T[p * Cw:(p + 1) * Cw, :]
+        elif paired:
+            winT_ref[i] = win_scratch[i].T  # already 32-bit (packed pairs)
         else:
             winT_ref[i] = win_scratch[i].T.astype(jnp.float32)
 
 
 def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
-                    P: int = 1):
+                    P: int = 1, paired: bool = False):
     k_class = tuple(int(v) for v in k_class)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, winT,
                stack, sems):
         t = pl.program_id(0)
-        _load_windows(ws_ref, t, x_hbm, win, winT, sems, C, P)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack, P)
+        _load_windows(ws_ref, t, x_hbm, win, winT, sems, C, P, paired=paired)
+        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack, P,
+                      paired=paired)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Cout, TILE) output transpose is cheap
@@ -244,9 +281,13 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                 out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws, g0: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((NCLASS, WIN // P, 128 if P > 1 else C),
-                               jnp.bfloat16),
-                    pltpu.VMEM((NCLASS, C, WIN), jnp.float32),
+                    (pltpu.VMEM((NCLASS, WIN // (2 if C == 128 else 1),
+                                 128 if C == 128 else C // 2), jnp.float32)
+                     if paired else
+                     pltpu.VMEM((NCLASS, WIN // P, 128 if P > 1 else C),
+                                jnp.bfloat16)),
+                    pltpu.VMEM((NCLASS, C // 2 if paired else C, WIN),
+                               jnp.float32),
                     pltpu.VMEM((K * C, TILE), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((NCLASS,)),
                 ],
@@ -258,7 +299,8 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
 
 
 def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
-                    P: int = 1, classes: Optional[Tuple[int, ...]] = None):
+                    P: int = 1, classes: Optional[Tuple[int, ...]] = None,
+                    paired: bool = False):
     """Fused backward: gathers G_k = g[fwd[k]] once per offset and emits
     dx tiles (TILE, C) plus the accumulated dW_flat (C, K*Cout).
     P phases pack the cotangent windows when Cout < 128.
@@ -285,9 +327,9 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
             acc[...] = jnp.zeros_like(acc)
 
         _load_windows(ws_ref, t, g_hbm, win, winT, sems, Cout, P,
-                      classes=classes)
+                      classes=classes, paired=paired)
         _gather_stack(t, g0_ref, lidx_ref[0], winT, local_class, K, Cout,
-                      stack, P)
+                      stack, P, paired=paired)
         # canonical orientations (see fwd kernel note)
         dxT = jax.lax.dot_general(
             wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
@@ -324,9 +366,14 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((nwin, WIN // P, 128 if P > 1 else Cout),
-                               jnp.bfloat16),
-                    pltpu.VMEM((nwin, Cout, WIN), jnp.float32),
+                    (pltpu.VMEM((nwin, WIN // (2 if Cout == 128 else 1),
+                                 128 if Cout == 128 else Cout // 2),
+                                jnp.float32)
+                     if paired else
+                     pltpu.VMEM((nwin, WIN // P, 128 if P > 1 else Cout),
+                                jnp.bfloat16)),
+                    pltpu.VMEM((nwin, Cout // 2 if paired else Cout, WIN),
+                               jnp.float32),
                     pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, C), jnp.float32),
                     pltpu.SemaphoreType.DMA((nwin,)),
@@ -342,13 +389,26 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cached(K, C, Cout, k_class, P=1):
-    return make_fwd_kernel(K, C, Cout, k_class, P)
+def _fwd_cached(K, C, Cout, k_class, P=1, paired=False):
+    return make_fwd_kernel(K, C, Cout, k_class, P, paired)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cached(K, C, Cout, k_class, P=1, classes=None):
-    return make_bwd_kernel(K, C, Cout, k_class, P, classes)
+def _bwd_cached(K, C, Cout, k_class, P=1, classes=None, paired=False):
+    return make_bwd_kernel(K, C, Cout, k_class, P, classes, paired)
+
+
+def _pair_pack(a):
+    """(n, C) bf16 -> (n, C/2) f32 bitpacked channel pairs (little-endian:
+    even channel in the low 16 bits)."""
+    n, C = a.shape
+    return jax.lax.bitcast_convert_type(
+        a.reshape(n, C // 2, 2), jnp.float32)
+
+
+def _pair_perm(C: int) -> np.ndarray:
+    """Channel order the paired stack emits: evens then odds."""
+    return np.concatenate([np.arange(0, C, 2), np.arange(1, C, 2)])
 
 
 def _spill_rows(spill_tiles):
@@ -401,12 +461,26 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
         Cn = C
         xn = x.astype(jnp.bfloat16).reshape(-1, 128)
     else:
+        # wide channels: pair-pack two bf16 channels per f32 window lane —
+        # the crossbar gathers HALF the sublanes; weight columns are
+        # permuted to the [evens | odds] order the paired stack emits.
+        # Cn=128 packs to 64 lanes (reshaped to (cap/2, 128) with 2 phases
+        # along the window axis — Mosaic slabs need 128-multiple lanes);
+        # other widths pad to a 256 multiple so the packed lanes are
+        # 128-aligned
         P = 1
         Cn = _pad128(C)
-        xn = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Cn - C)))
+        if Cn != 128 and (Cn // 2) % 128 != 0:
+            Cn = -(-Cn // 256) * 256
+        xn = _pair_pack(jnp.pad(x.astype(jnp.bfloat16),
+                                ((0, 0), (0, Cn - C))))
+        if Cn == 128:
+            xn = xn.reshape(-1, 128)
     wp = jnp.pad(w, ((0, 0), (0, Cn - C), (0, Coutp - Cout)))
+    if P == 1:
+        wp = wp[:, _pair_perm(Cn), :]
     wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cn).astype(jnp.bfloat16)
-    call = _fwd_cached(K, Cn, Coutp, _static_k_class(K), P)
+    call = _fwd_cached(K, Cn, Coutp, _static_k_class(K), P, paired=(P == 1))
     out = call(xn, wT, win_start, g0pack, lidx)[:, :Cout]
     rows = _spill_rows(spill_tiles)
     valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
@@ -432,12 +506,22 @@ def _wconv_bwd(res, g):
         Con = Cout
         gn = gb.reshape(-1, 128)  # phase-packed cotangent windows
     else:
+        # pair-packed cotangent windows (see windowed_sparse_conv): gather
+        # half the sublanes; wflipT columns + dW rows follow the
+        # [evens | odds] order the paired stack emits
         P = 1
         Con = _pad128(Cout)
-        gn = jnp.pad(gb, ((0, 0), (0, Con - Cout)))
+        if Con != 128 and (Con // 2) % 128 != 0:
+            Con = -(-Con // 256) * 256
+        gn = _pair_pack(jnp.pad(gb, ((0, 0), (0, Con - Cout))))
+        if Con == 128:
+            gn = gn.reshape(-1, 128)
     w_flip = jnp.take(w, flip_perm, axis=0)
     # w_flip_t (Cp, K*Con): row c, col k*Con+o = W[flip(k), c, o]
     w_flip_p = jnp.pad(w_flip, ((0, 0), (0, Cp - C), (0, Con - Cout)))
+    if P == 1:
+        o_perm = _pair_perm(Con)
+        w_flip_p = w_flip_p[:, :, o_perm]
     xb = x.astype(jnp.bfloat16)
     xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
     k_class = _static_k_class(K)
@@ -454,7 +538,8 @@ def _wconv_bwd(res, g):
             wflipT_c = jnp.transpose(w_flip_p[sub], (1, 0, 2)).reshape(
                 Cp, len(ks) * Con)
             call = _bwd_cached(len(ks), Cp, Con,
-                               tuple(k_class[k] for k in ks), P, (cls,))
+                               tuple(k_class[k] for k in ks), P, (cls,),
+                               paired=True)
             dxc, dwc = call(xpad, gn, wflipT_c.astype(jnp.bfloat16),
                             win_start, g0pack, lidx[:, sub, :])
             dx_p = dxc if dx_p is None else dx_p + dxc
@@ -462,10 +547,12 @@ def _wconv_bwd(res, g):
         dw_acc = jnp.concatenate(dw_parts, axis=0)
     else:
         wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Con)
-        call = _bwd_cached(K, Cp, Con, k_class, P)
+        call = _bwd_cached(K, Cp, Con, k_class, P, paired=(P == 1))
         dx_p, dw_acc = call(xpad, gn, wflipT.astype(jnp.bfloat16), win_start,
                             g0pack, lidx)
         dw_acc = dw_acc.reshape(K, Con, Cp)
+    if P == 1:
+        dw_acc = dw_acc[:, np.argsort(o_perm), :]  # back to channel order
     dx = dx_p[:, :C]
     # dw_acc[k, o, c] = (G_k^T x)[o, c] = dW[flip(k)][c, o]^T
     dw_flip = jnp.transpose(dw_acc, (0, 2, 1))[:, :C, :Cout]

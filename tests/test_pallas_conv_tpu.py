@@ -57,18 +57,17 @@ def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
 
     out = np.asarray(windowed_sparse_conv(xb, w, fp, *args), np.float32)
     ref = np.asarray(sparse_conv(xb, w, fwd, fp), np.float32)
-    if C == 128:
-        np.testing.assert_array_equal(out[:num], ref[:num])
-    elif C > 128:
-        # one kernel GEMM contracts K*C > 3456 terms; vs the XLA 27-step
-        # scan the f32 accumulation order differs, so rare outputs land one
-        # bf16 ulp apart — at the scale of the ROW's accumulation, which for
-        # near-cancellation sums is large relative to the tiny result.
-        # Measured at (256, 256): 580 / 13.7M elements, d <= 0.0064*rowmax.
+    if C >= 128:
+        # the paired-gather kernel contracts the K*C GEMM in [evens|odds]
+        # channel order and the XLA path scans 27 offsets — different f32
+        # accumulation orders, so rare outputs land one bf16 ulp apart at
+        # the scale of the ROW's accumulation (near-cancellation sums see
+        # that as a large relative error on a tiny value). Bound: every
+        # element within 2^-7 of its row's max |ref|, <0.1% differ at all.
         d = np.abs(out[:num] - ref[:num])
         rowscale = np.abs(ref[:num]).max(axis=1, keepdims=True)
         assert (d > rowscale * 2.0 ** -7).sum() == 0
-        assert (d > 0).mean() < 1e-4
+        assert (d > 0).mean() < 1e-3
     else:
         # phase-packed narrow channels accumulate the K*C contraction in a
         # different f32 order than the XLA 27-step scan: tiny reordering
@@ -90,13 +89,10 @@ def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
     gx0, gw0 = jax.grad(loss_x, (0, 1))(xb, w)
     gx1np = np.asarray(gx1, np.float32)[:num]
     gx0np = np.asarray(gx0, np.float32)[:num]
-    if C == 128 and Cout == 128:
-        np.testing.assert_array_equal(gx1np, gx0np)
-    else:
-        # class-split backward (wide channels) / phase packing (narrow):
-        # different f32 accumulation order, same pair set
-        denom_x = np.abs(gx0np).max()
-        assert np.abs(gx1np - gx0np).max() / denom_x < 1e-2
+    # paired gathers / class splits / phase packing: different f32
+    # accumulation order, same (k, row, fwd) pair set
+    denom_x = np.abs(gx0np).max()
+    assert np.abs(gx1np - gx0np).max() / denom_x < 1e-2
     # dW differs only by f32 summation order (per-tile kernel accumulator vs
     # one full-cap dot); values are O(1e3) sums of ~1e5 bf16 products
     gw1, gw0 = np.asarray(gw1), np.asarray(gw0)
