@@ -82,13 +82,18 @@ def offset_key_delta(offsets: np.ndarray) -> np.ndarray:
 def _bucket(n: int, growth: float = 1.3, min_bucket: int = 4096) -> int:
     """Smallest geometric-series capacity holding n valid rows + 1 null row.
 
-    Capacities are multiples of 256 (TPU lane-friendly) from a fixed geometric
-    ladder, so the number of distinct compiled program shapes stays small.
+    Capacities are multiples of 512 (4 x TILE: the windowed kernels batch
+    their per-tile GEMMs over 4 output tiles to engage all MXUs) from a
+    fixed geometric ladder, so the number of distinct compiled program
+    shapes stays small.
     """
     cap = min_bucket
     while cap - 1 < n:
         cap = int(-(-cap * growth // 256) * 256)
-    return cap
+    # final rounding to 4*TILE so the windowed kernels' GEMM batching
+    # divides the tile count (wastes <= 384 rows vs a 512-granular ladder's
+    # up-to-10% bucket inflation)
+    return int(-(-cap // 512) * 512)
 
 
 @dataclass(frozen=True)

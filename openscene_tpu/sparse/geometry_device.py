@@ -336,10 +336,10 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     (scripts/dev_window_stats); default ~3.1% headroom, overflow ->
     trainer re-runs the batch via the host path.
     """
-    from .pallas_conv import INVALID, NCLASS, TILE, WIN, WindowPlan
+    from .pallas_conv import INVALID, MTILE, NCLASS, TILE, WIN, WindowPlan
 
     K = fwd.shape[0]
-    assert cap >= WIN and cap % TILE == 0, (cap, WIN, TILE)
+    assert cap >= WIN and cap % (MTILE * TILE) == 0, (cap, WIN, TILE)
     offsets = stencil_offsets(kernel_size)
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
     ntiles = cap // TILE
@@ -457,7 +457,7 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
     would silently drop spill corrections otherwise).
     ``stem_occupancy=True`` builds the k=5 stem as a (K, cap0) occupancy
     matrix only (constant-input models)."""
-    from .pallas_conv import TILE, WIN
+    from .pallas_conv import MTILE, TILE, WIN
 
     num = jnp.asarray(num)
     levels = [LevelGeometry(coords=jnp.asarray(coords),
@@ -488,7 +488,7 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
     if windows:
         for l in range(num_levels):
             cap = caps[l]
-            if cap >= WIN and cap % TILE == 0:
+            if cap >= WIN and cap % (MTILE * TILE) == 0:
                 wplans[l], ov = build_window_plan_device(
                     self3[l].fwd, levels[l].num, cap)
                 overflow = overflow | ov

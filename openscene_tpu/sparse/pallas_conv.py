@@ -43,6 +43,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .types import stencil_offsets
 
 TILE = 128
+MTILE = 4  # max output tiles per GEMM: N = MTILE*TILE spreads the matmul
+# over all MXUs (one TILE-wide GEMM is a single chained 128x128 output
+# block); wide-channel kernels drop to 2/1 to fit the 16MB scoped VMEM
+# (see _pick_mtile). Caps are 512-granular so any of 4/2/1 divides ntiles.
+
+
+def _pick_mtile(K: int, Cn: int, Coutp: int, backward: bool) -> int:
+    """Largest MTILE whose kernel fits the scoped-VMEM budget."""
+    for mt in (MTILE, 2, 1):
+        stack = K * Cn * mt * TILE * 2
+        weights = K * Cn * Coutp * 2
+        blocks = mt * TILE * Coutp * 4 * 2          # out (or dx+x) dbl-buf
+        acc = K * Cn * Coutp * 4 if backward else 0
+        if stack + weights + blocks + acc + 3 * 1024 * 1024 < 14_500_000:
+            return mt
+    return 1
 # WIN=384 was tried (25% fewer crossbar passes; spills 2.5-6.4% vs 2-2.9%,
 # scripts/dev_window_stats.py) and measured NET WORSE in the full train
 # step: 2510ms vs 2201ms at bench scale — the larger spill buckets the
@@ -90,7 +106,7 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     exceeds ``max_spill_frac`` (fall back entirely).
     """
     K = fwd.shape[0]
-    if cap < WIN or cap % TILE != 0:
+    if cap < WIN or cap % (MTILE * TILE) != 0:
         return None
     offsets = stencil_offsets(kernel_size)
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
@@ -140,7 +156,8 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
 
 
 def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
-                  P: int = 1, out_dtype=jnp.bfloat16, paired: bool = False):
+                  P: int = 1, out_dtype=jnp.bfloat16, paired: bool = False,
+                  col: int = 0):
     """Crossbar-gather every offset's (C, TILE) columns into stack_ref.
 
     Missing-neighbor validity is folded into the group selects (the sentinel
@@ -176,6 +193,7 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
                                        lo, axis=1)
             sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (Cw, TILE))
             acc = jnp.where(sel, part, acc)
+        c0, c1 = col * TILE, (col + 1) * TILE
         if paired:
             # even channel = low 16 bits (little-endian pair), odd = high;
             # a bf16's f32 value is its bits in the f32 top half
@@ -183,10 +201,10 @@ def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
             v_even = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
             v_odd = jax.lax.bitcast_convert_type(
                 u & jnp.uint32(0xFFFF0000), jnp.float32)
-            stack_ref[k*C:k*C + Cw, :] = v_even.astype(out_dtype)
-            stack_ref[k*C + Cw:(k+1)*C, :] = v_odd.astype(out_dtype)
+            stack_ref[k*C:k*C + Cw, c0:c1] = v_even.astype(out_dtype)
+            stack_ref[k*C + Cw:(k+1)*C, c0:c1] = v_odd.astype(out_dtype)
         else:
-            stack_ref[k*C:(k+1)*C, :] = acc.astype(out_dtype)
+            stack_ref[k*C:(k+1)*C, c0:c1] = acc.astype(out_dtype)
 
 
 def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
@@ -249,16 +267,24 @@ def _load_windows(ws_ref, t, x_hbm, win_scratch, winT_ref, sems, C, P=1,
 def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                     P: int = 1, paired: bool = False):
     k_class = tuple(int(v) for v in k_class)
+    mt = _pick_mtile(K, C, Cout, backward=False)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_hbm, wT_ref, out_ref, win, winT,
                stack, sems):
         t = pl.program_id(0)
-        _load_windows(ws_ref, t, x_hbm, win, winT, sems, C, P, paired=paired)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, k_class, K, C, stack, P,
-                      paired=paired)
+        # gather mt output tiles into one (K*C, mt*TILE) stack: a
+        # TILE-wide GEMM is ONE 128x128 output block = one MXU chained over
+        # K*C/128 MACs; 4 N-blocks keep all MXUs busy (measured: the GEMM
+        # was ~50% of the forward at M=N=128)
+        for j in range(mt):
+            st = t * mt + j
+            _load_windows(ws_ref, st, x_hbm, win, winT, sems, C, P,
+                          paired=paired)
+            _gather_stack(st, g0_ref, lidx_ref[j], winT, k_class, K, C,
+                          stack, P, paired=paired, col=j)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
-        # one (Cout, TILE) output transpose is cheap
+        # one (Cout, MTILE*TILE) output transpose is cheap
         o = jax.lax.dot_general(
             wT_ref[...], stack[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -267,18 +293,21 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
     def call(x, wT, win_start, g0pack, lidx):
         ntiles = lidx.shape[0]
         cap = ntiles * TILE
+        assert ntiles % mt == 0, (ntiles, mt)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(ntiles,),
+                grid=(ntiles // mt,),
                 in_specs=[
-                    pl.BlockSpec((1, K, TILE), lambda t, ws, g0: (t, 0, 0),
+                    pl.BlockSpec((mt, K, TILE),
+                                 lambda t, ws, g0: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((TILE, Cout), lambda t, ws, g0: (t, 0),
+                out_specs=pl.BlockSpec((mt * TILE, Cout),
+                                       lambda t, ws, g0: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     (pltpu.VMEM((NCLASS, WIN // (2 if C == 128 else 1),
@@ -288,7 +317,7 @@ def make_fwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                                 jnp.bfloat16)),
                     pltpu.VMEM((NCLASS, C // 2 if paired else C, WIN),
                                jnp.float32),
-                    pltpu.VMEM((K * C, TILE), jnp.bfloat16),
+                    pltpu.VMEM((K * C, mt * TILE), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((NCLASS,)),
                 ],
             ),
@@ -317,6 +346,7 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
     # winT slot of each offset in this call
     slot = {c: i for i, c in enumerate(classes)}
     local_class = tuple(slot[c] for c in k_class)
+    mt = _pick_mtile(K, Cout, C, backward=True)
 
     def kernel(ws_ref, g0_ref, lidx_ref, x_blk, g_hbm, wflipT_ref, dx_ref,
                dw_ref, win, winT, stack, acc, sems):
@@ -326,16 +356,18 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        _load_windows(ws_ref, t, g_hbm, win, winT, sems, Cout, P,
-                      classes=classes, paired=paired)
-        _gather_stack(t, g0_ref, lidx_ref[0], winT, local_class, K, Cout,
-                      stack, P, paired=paired)
+        for j in range(mt):
+            st = t * mt + j
+            _load_windows(ws_ref, st, g_hbm, win, winT, sems, Cout, P,
+                          classes=classes, paired=paired)
+            _gather_stack(st, g0_ref, lidx_ref[j], winT, local_class, K,
+                          Cout, stack, P, paired=paired, col=j)
         # canonical orientations (see fwd kernel note)
         dxT = jax.lax.dot_general(
             wflipT_ref[...], stack[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
-        # dW acc (K*Cout, C) += stack (K*Cout, TILE) @ x_tile (TILE, C)
+        # dW acc (K*Cout, C) += stack (K*Cout, N) @ x_blk (N, C)
         acc[...] += jax.lax.dot_general(
             stack[...], x_blk[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -347,21 +379,25 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
     def call(x, g, wflipT, win_start, g0pack, lidx):
         cap = x.shape[0]  # x stays (cap, Cp); only g may be phase-reshaped
         ntiles = cap // TILE
+        assert ntiles % mt == 0, (ntiles, mt)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(ntiles,),
+                grid=(ntiles // mt,),
                 in_specs=[
-                    pl.BlockSpec((1, K, TILE), lambda t, ws, g0: (t, 0, 0),
+                    pl.BlockSpec((mt, K, TILE),
+                                 lambda t, ws, g0: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((TILE, C), lambda t, ws, g0: (t, 0),
+                    pl.BlockSpec((mt * TILE, C),
+                                 lambda t, ws, g0: (t, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((TILE, C), lambda t, ws, g0: (t, 0),
+                    pl.BlockSpec((mt * TILE, C),
+                                 lambda t, ws, g0: (t, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
@@ -374,7 +410,7 @@ def make_bwd_kernel(K: int, C: int, Cout: int, k_class: Tuple[int, ...],
                                 jnp.bfloat16)),
                     pltpu.VMEM((nwin, Cout // 2 if paired else Cout, WIN),
                                jnp.float32),
-                    pltpu.VMEM((K * Cout, TILE), jnp.bfloat16),
+                    pltpu.VMEM((K * Cout, mt * TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, C), jnp.float32),
                     pltpu.SemaphoreType.DMA((nwin,)),
                 ],
