@@ -117,15 +117,15 @@ class GeometryCaps:
             return self.cap0
         if self.level_ratios is None:
             return _bucket(count)
-        def rup(x):
-            return int(-(-x // 256) * 256)
+        def rup(x):  # 512-granular: keeps ratio caps windowed-kernel eligible
+            return int(-(-x // 512) * 512)
         return rup(self.cap0 * self.level_ratios[level - 1])
 
     @property
     def caps(self) -> Tuple[int, ...]:
         assert self.level_ratios is not None, "caps undefined without ratios"
         def rup(x):
-            return int(-(-x // 256) * 256)
+            return int(-(-x // 512) * 512)
         return (self.cap0,) + tuple(rup(self.cap0 * r) for r in self.level_ratios)
 
     @staticmethod

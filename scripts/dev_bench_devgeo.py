@@ -57,10 +57,10 @@ def main():
             feat_3d=feat[frows], feat_mask=fmask))
     caps = GeometryCaps(cap0=caps_t[0], fixed=caps_t)
     t0 = time.time()
-    raw = assemble_raw_distill_batch(samples, 768,
-                                     caps=caps,
-                                     rng=np.random.default_rng(0),
-                                     shift=False)
+    raw, _ = assemble_raw_distill_batch(samples, 768,
+                                        caps=caps,
+                                        rng=np.random.default_rng(0),
+                                        shift=False)
     print(f"# raw host assembly {time.time()-t0:.2f}s", flush=True)
 
     cfg = Config(arch_3d="MinkUNet18A", loss_type="cosine")

@@ -85,12 +85,14 @@ def test_device_window_plan_matches_host():
     """build_window_plan_device vs the host builder on the same fwd plan:
     identical win_start/lidx; the spill-tile SET matches (bucket sizes may
     differ — device uses a fixed cap, host a measured power of two)."""
-    from openscene_tpu.sparse.pallas_conv import TILE, WIN, build_window_plan
+    from openscene_tpu.sparse.pallas_conv import (MTILE, TILE, WIN,
+                                                  build_window_plan)
     from openscene_tpu.sparse.geometry_device import build_window_plan_device
 
     coords = _scene_coords(3, n=12000, extent=90)
     counts = level_counts(coords)
-    cap0 = max(WIN, -(-int(counts[0] * 1.1) // TILE) * TILE)
+    gran = MTILE * TILE  # both window builders require 512-granular caps
+    cap0 = max(WIN, -(-int(counts[0] * 1.1) // gran) * gran)
     caps = (cap0,) + tuple(max(256, -(-int(c * 1.2) // 256) * 256)
                            for c in counts[1:])
     gcaps = GeometryCaps(cap0=caps[0], fixed=caps)
