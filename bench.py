@@ -12,12 +12,23 @@ MinkUNet18A ScanNet train-step envelope of ~0.4 s/iter for an 8-scene x
 ratio to that 2.0M voxels/s estimate (>1.0 = faster than the CUDA reference).
 
 The official metric times the conv/optimizer step on device-resident
-geometry (same definition since round 1). Geometry is now built ON DEVICE
+geometry (same definition since round 1). Geometry is built ON DEVICE
 (sparse/geometry_device.py) — the stderr tail reports that build time and
 the throughput of the trainer's combined step (in-jit geometry + train),
 which is what runtime/distill.py actually executes per batch on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Budget discipline (round-3, after round-2's rc=124 timeout produced no
+number): (a) a persistent XLA compile cache (.jax_cache_tpu, verified to
+work through the axon remote-compile tunnel) makes repeat runs skip the
+4-14min bench-scale compile entirely; (b) the host batch assembly (~170s)
+is cached on disk under out/bench_cache/; (c) the official JSON line is
+printed right after the FIRST timed measurement (compile + warmup + 2
+steps) and stdout is flushed — refinement iterations only ever ADD
+precision to the stderr diagnostics afterwards; (d) a wall-clock guard
+(BENCH_BUDGET_S, default 1500s) skips refinement when compile ate the
+budget.
 
 Timing note: on the tunneled TPU backend block_until_ready is a no-op, so we
 time N dispatched steps ending with a host transfer of the last loss, and
@@ -25,12 +36,20 @@ subtract the measured round-trip.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_VOXELS_PER_SEC = 2.0e6  # documented estimate, see module docstring
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _T0)
 
 
 def build_samples(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
@@ -68,28 +87,73 @@ def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
                                   shift=False)
 
 
+_RAW_CACHE_VERSION = 3  # bump when build_samples/assembly semantics change
+
+
+def build_raw_cached():
+    """(RawDistillBatch, caps) with a disk cache: the deterministic host
+    assembly costs ~170s on this 1-core box — a quarter of a tight driver
+    budget — and its inputs (seed-0 synthetic scenes) never change."""
+    from openscene_tpu.data.batch import (RawDistillBatch,
+                                          assemble_raw_distill_batch)
+    from openscene_tpu.sparse.geometry import GeometryCaps
+
+    path = os.path.join(_REPO, "out", "bench_cache",
+                        f"raw_v{_RAW_CACHE_VERSION}.npz")
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            raw = RawDistillBatch(coords=z["coords"], num=z["num"],
+                                  feats=z["feats"], feat_3d=z["feat_3d"],
+                                  mask=z["mask"], labels=z["labels"])
+            caps = GeometryCaps(cap0=int(z["caps"][0]),
+                                fixed=tuple(int(c) for c in z["caps"]))
+            return raw, caps
+        except Exception as e:  # corrupt cache: rebuild
+            print(f"# bench cache unreadable ({e}); rebuilding", file=sys.stderr)
+    samples = build_samples()
+    raw, caps = assemble_raw_distill_batch(
+        samples, 768, rng=np.random.default_rng(0), shift=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"  # savez keeps names already ending in .npz
+    feat16 = raw.feat_3d.astype(np.float16)
+    np.savez(tmp, coords=raw.coords, num=raw.num, feats=raw.feats,
+             feat_3d=feat16, mask=raw.mask, labels=raw.labels,
+             caps=np.asarray(caps.fixed, np.int64))
+    os.replace(tmp, path)
+    raw = raw._replace(feat_3d=feat16)  # fp16 both paths for parity
+    return raw, caps
+
+
 def main():
     import jax
+
+    # Persistent compile cache: the axon remote-compile backend honors it
+    # (verified round 2 — entries are written and replayed), and the
+    # bench-scale train step costs 4-14 MINUTES to compile cold.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import jax.numpy as jnp
     from openscene_tpu.config import Config
-    from openscene_tpu.data.batch import (DistillBatch,
-                                          assemble_raw_distill_batch)
+    from openscene_tpu.data.batch import DistillBatch
     from openscene_tpu.models import init_unet
     from openscene_tpu.runtime.distill import make_optimizer, make_train_step
     from openscene_tpu.sparse.geometry_device import build_geometry_parts
 
     cfg = Config(arch_3d="MinkUNet18A", loss_type="cosine")
     t0 = time.time()
-    samples = build_samples()
-    raw, caps = assemble_raw_distill_batch(
-        samples, 768, rng=np.random.default_rng(0), shift=False)
+    raw, caps = build_raw_cached()
     n_vox = int(raw.num)
     host_s = time.time() - t0
     # Device-resident batch: measures sustained on-chip step throughput.
     # (This environment's host<->TPU tunnel runs at ~35MB/s — three orders
     # below a production host link — so per-step re-upload would measure the
     # tunnel, not the framework.)
-    raw = raw._replace(feat_3d=raw.feat_3d.astype(np.float16))
+    if raw.feat_3d.dtype != np.float16:
+        raw = raw._replace(feat_3d=raw.feat_3d.astype(np.float16))
     raw = jax.tree_util.tree_map(jax.device_put, raw)
     raw = raw._replace(feat_3d=raw.feat_3d.astype(jnp.bfloat16))
 
@@ -117,8 +181,10 @@ def main():
     step = make_train_step(cfg, opt)
 
     # warmup/compile
+    t0 = time.time()
     params, state, opt_state, loss = step(params, state, opt_state, batch)
     _ = float(loss)
+    compile_s = time.time() - t0
 
     # RTT of a sync
     probe = jax.jit(lambda a: a * 1.0)
@@ -129,33 +195,46 @@ def main():
         _ = float(np.asarray(probe(small)).sum())
     rtt = (time.time() - t) / 5
 
-    n_iters = 10
-    t = time.time()
-    for _ in range(n_iters):
-        params, state, opt_state, loss = step(params, state, opt_state, batch)
-    _ = float(loss)  # host sync on the final loss
-    wall = time.time() - t - rtt
-    step_s = wall / n_iters
+    def timed(n):
+        nonlocal params, state, opt_state, loss
+        t = time.time()
+        for _ in range(n):
+            params, state, opt_state, loss = step(params, state, opt_state,
+                                                  batch)
+        _ = float(loss)  # host sync on the final loss
+        return (time.time() - t - rtt) / n
 
+    # FIRST measurement -> official JSON immediately (driver reads line 1;
+    # round 2 died with the number unprinted after a slow compile)
+    step_s = timed(2)
+    n_timed = 2
     vox_per_s = n_vox / step_s
     print(json.dumps({
         "metric": "distill_train_voxels_per_sec_per_chip",
         "value": round(vox_per_s, 1),
         "unit": "voxels/s",
         "vs_baseline": round(vox_per_s / BASELINE_VOXELS_PER_SEC, 3),
-    }))
+    }), flush=True)
 
-    # secondary diagnostics (driver reads line 1 JSON only)
-    t = time.time()
-    for _ in range(3):
-        geo2, _ = build_geo(raw.coords, raw.num)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(geo2)[0].reshape(-1)[0]))
-    geo_steady = (time.time() - t - rtt) / 3
-    print(f"# batch: {n_vox} voxels in 8 scenes; step {step_s*1000:.1f}ms; "
-          f"host batch-assembly {host_s:.1f}s; on-device geometry build "
-          f"{geo_steady*1000:.1f}ms (first incl. compile {geo_s:.1f}s); "
-          f"trainer step+geometry {n_vox/(step_s+geo_steady):.0f} voxels/s; "
-          f"loss {float(loss):.4f}", file=sys.stderr)
+    # refinement + diagnostics, budget permitting (stderr only)
+    if _remaining() > 10 * step_s + 30:
+        step_s = (step_s * 2 + timed(8) * 8) / 10
+        n_timed = 10
+    geo_steady = float("nan")
+    if _remaining() > 4 * step_s + 30:
+        t = time.time()
+        for _ in range(3):
+            geo2, _ = build_geo(raw.coords, raw.num)
+        _ = float(np.asarray(
+            jax.tree_util.tree_leaves(geo2)[0].reshape(-1)[0]))
+        geo_steady = (time.time() - t - rtt) / 3
+    print(f"# batch: {n_vox} voxels in 8 scenes; step {step_s*1000:.1f}ms "
+          f"({n_timed} timed iters); refined {n_vox/step_s:.0f} voxels/s; "
+          f"host batch-assembly {host_s:.1f}s; train-step compile+warmup "
+          f"{compile_s:.1f}s; on-device geometry build {geo_steady*1000:.1f}ms "
+          f"(first incl. compile {geo_s:.1f}s); trainer step+geometry "
+          f"{n_vox/(step_s+geo_steady):.0f} voxels/s; loss {float(loss):.4f}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
