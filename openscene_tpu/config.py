@@ -88,6 +88,13 @@ class Config:
     multiprocessing_distributed: bool = False  # accepted and ignored
     world_size: int = 1
     rank: int = 0
+    # multi-host (reference multi-node DDP, run/distill.py:113-116): one
+    # process per host, same program; jax.distributed.initialize() stitches
+    # the hosts into one global device set. Empty = single-host. Env vars
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID override.
+    coordinator_address: str = ""  # e.g. "10.0.0.1:8476"
+    num_processes: int = 0  # 0: take from env / platform
+    process_id: int = -1  # -1: take from env / platform
 
     # ---- TPU-native engine knobs (no reference equivalent) ----
     compute_dtype: str = "bfloat16"  # matmul dtype inside the sparse engine

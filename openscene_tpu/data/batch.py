@@ -142,7 +142,11 @@ def assemble_raw_distill_batch(samples: Sequence[SceneSample], dim: int,
     # builder can never overflow a level cap
     counts = level_counts(coords)
     prev = caps.fixed if caps is not None else (0,) * len(counts)
-    fixed = tuple(max(p, _bucket(c)) for p, c in zip(prev, counts))
+    # grow only the levels whose count no longer fits (one row reserved for
+    # the null target): tight externally-calibrated schedules (e.g. the
+    # multichip dryrun's 256-granular caps) must pass through untouched
+    fixed = tuple(p if c < p else max(p, _bucket(c))
+                  for p, c in zip(prev, counts))
     caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
     cap0 = caps.cap_for(0, n)
     level0 = _pad_level(coords, cap0)

@@ -43,6 +43,47 @@ def merge_caps(a: GeometryCaps, b: GeometryCaps) -> GeometryCaps:
     return GeometryCaps(cap0=fixed[0], fixed=fixed)
 
 
+def _grow_raw(raw, cap0: int):
+    """Re-pad a RawDistillBatch's level-0 arrays to a larger shared cap0
+    (coords keep the sentinel fill; features/mask zero; labels 255)."""
+    pad = cap0 - raw.coords.shape[0]
+    if pad == 0:
+        return raw
+    assert pad > 0, (cap0, raw.coords.shape)
+
+    def grow(a, fill):
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    return raw._replace(coords=grow(raw.coords, 2 ** 20),
+                        feats=grow(raw.feats, 0),
+                        feat_3d=grow(raw.feat_3d, 0),
+                        mask=grow(raw.mask, 0),
+                        labels=grow(raw.labels, 255))
+
+
+def assemble_sharded_raw_batches(
+        per_device_samples: Sequence[Sequence[SceneSample]], dim: int,
+        rng: Optional[np.random.Generator] = None,
+        caps: Optional[GeometryCaps] = None):
+    """-> (stacked RawDistillBatch with leading device axis, shared caps).
+
+    Each device's batch is assembled independently (its own random shift,
+    like per-rank dataloaders under DDP); the per-device cap schedules are
+    merged to one shared schedule (caps only ever grow) so a single
+    device-geometry program shape serves every shard, and the level-0
+    arrays are re-padded to the shared cap0."""
+    from .batch import assemble_raw_distill_batch
+
+    rng = rng if rng is not None else np.random.default_rng()
+    raws, merged = [], caps
+    for s in per_device_samples:
+        raw, merged = assemble_raw_distill_batch(s, dim, caps=merged, rng=rng)
+        raws.append(raw)
+    raws = [_grow_raw(r, merged.fixed[0]) for r in raws]
+    return stack_batches(raws), merged
+
+
 def assemble_sharded_distill_batches(
         per_device_samples: Sequence[Sequence[SceneSample]], dim: int,
         rng: Optional[np.random.Generator] = None,

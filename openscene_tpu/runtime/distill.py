@@ -51,22 +51,31 @@ from ..utils.train_utils import (AverageMeter, ScalarWriter, get_logger,
 log = get_logger()
 
 
-def cosine_distill_loss(out, target, mask, eps: float = 1e-8):
+def cosine_distill_loss(out, target, mask, eps: float = 1e-8,
+                        model_axis: Optional[str] = None):
     """mean over masked voxels of (1 - cos(out, target))
     (run/distill.py:324-326; torch.nn.CosineSimilarity eps semantics).
 
     sqrt is guarded: padded rows are exactly zero and d(sqrt)(0) is NaN,
-    which would leak through the mask (0 * nan = nan)."""
+    which would leak through the mask (0 * nan = nan).
+
+    ``model_axis``: when the CLIP feature dim D is channel-sharded over a
+    mesh axis (out/target hold (cap, D/m) shards), the three per-row
+    reductions are completed with a psum over that axis — the only
+    cross-shard communication of the whole head."""
     dot = jnp.sum(out * target, axis=-1)
     sq_o = jnp.sum(out * out, axis=-1)
     sq_t = jnp.sum(target * target, axis=-1)
+    if model_axis is not None:
+        dot, sq_o, sq_t = jax.lax.psum((dot, sq_o, sq_t), model_axis)
     norm_o = jnp.sqrt(jnp.where(sq_o > 0, sq_o, 1.0))
     norm_t = jnp.sqrt(jnp.where(sq_t > 0, sq_t, 1.0))
     cos = dot / jnp.maximum(norm_o * norm_t, eps)
     return jnp.sum((1.0 - cos) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def cosine_head_loss(feats, w_final, target, mask, eps: float = 1e-8):
+def cosine_head_loss(feats, w_final, target, mask, eps: float = 1e-8,
+                     model_axis: Optional[str] = None):
     """Cosine distill loss computed in pre-head space.
 
     With out = feats @ W (the final 1x1 conv, W: (C, D) with D=768/512):
@@ -76,25 +85,34 @@ def cosine_head_loss(feats, w_final, target, mask, eps: float = 1e-8):
     materialize: at D=768 and ~1.5M-row caps that removes the two largest
     HBM allocations of the train step (~5GB) while computing the identical
     loss (same autodiff fixpoint through u and the Gram matrix)."""
-    wf = w_final[0] if w_final.ndim == 3 else w_final  # (C, D)
+    wf = w_final[0] if w_final.ndim == 3 else w_final  # (C, D) or (C, D/m)
     cdtype = feats.dtype
     u = jnp.dot(target.astype(cdtype), wf.T.astype(cdtype),
                 preferred_element_type=jnp.float32)      # (cap, C)
     gram = jnp.dot(wf, wf.T, preferred_element_type=jnp.float32)
+    sq_t = jnp.sum(target.astype(jnp.float32) ** 2, axis=-1)
+    if model_axis is not None:
+        # D-sharded head: u, the Gram matrix and |t|^2 are sums over D —
+        # complete them across the shards (all-reduce of (cap,C)+(C,C)+(cap,)
+        # instead of ever materializing a (cap, D) tensor per device)
+        u, gram, sq_t = jax.lax.psum((u, gram, sq_t), model_axis)
     f32 = feats.astype(jnp.float32)
     dot = jnp.sum(f32 * u, axis=-1)
     sq_o = jnp.sum(jnp.dot(f32, gram.astype(jnp.float32),
                            preferred_element_type=jnp.float32) * f32, axis=-1)
-    sq_t = jnp.sum(target.astype(jnp.float32) ** 2, axis=-1)
     norm_o = jnp.sqrt(jnp.where(sq_o > 0, sq_o, 1.0))
     norm_t = jnp.sqrt(jnp.where(sq_t > 0, sq_t, 1.0))
     cos = dot / jnp.maximum(norm_o * norm_t, eps)
     return jnp.sum((1.0 - cos) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def l1_distill_loss(out, target, mask):
-    diff = jnp.abs(out - target) * mask[:, None]
-    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask) * out.shape[-1], 1.0)
+def l1_distill_loss(out, target, mask, model_axis: Optional[str] = None):
+    diff = jnp.sum(jnp.abs(out - target) * mask[:, None])
+    d = out.shape[-1]
+    if model_axis is not None:
+        diff = jax.lax.psum(diff, model_axis)
+        d = d * jax.lax.axis_size(model_axis)
+    return diff / jnp.maximum(jnp.sum(mask) * d, 1.0)
 
 
 def make_optimizer(cfg: Config, max_iter: int):
@@ -121,6 +139,8 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
     const_in = not cfg.input_color
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     use_windows = jax.default_backend() == "tpu"
+    from ..parallel.mesh import model_axis_size
+    model_axis = "model" if model_axis_size(mesh) > 1 else None
 
     def step_core(params, state, opt_state, batch):
         overflow = None
@@ -146,14 +166,20 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
                 feats, ns = apply_unet(p, state, x, geo, arch=arch,
                                        train=True, constant_input=const_in,
                                        return_prehead=True)
-                l = cosine_head_loss(feats, p["final"], target, batch.mask)
+                l = cosine_head_loss(feats, p["final"], target, batch.mask,
+                                     model_axis=model_axis)
                 return l, ns
+            # with a 'model' axis, p["final"] is a (1, C, D/m) shard and
+            # apply_unet emits a (cap, D/m) output shard; the losses finish
+            # their D-reductions with a psum over the axis
             out, ns = apply_unet(p, state, x, geo, arch=arch,
                                  train=True, constant_input=const_in)
             if loss_kind == "cosine":
-                l = cosine_distill_loss(out, target, batch.mask)
+                l = cosine_distill_loss(out, target, batch.mask,
+                                        model_axis=model_axis)
             elif loss_kind == "l1":
-                l = l1_distill_loss(out, target, batch.mask)
+                l = l1_distill_loss(out, target, batch.mask,
+                                    model_axis=model_axis)
             else:
                 raise NotImplementedError(loss_kind)
             return l, ns
@@ -184,16 +210,29 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
 
     from jax.sharding import PartitionSpec as P
 
-    n_out = 5 if geo_caps is not None else 4
+    from ..parallel.mesh import head_sharded_specs
 
     def sharded(params, state, opt_state, batches):
         def inner(params, state, opt_state, batch):
             batch = jax.tree_util.tree_map(lambda x: x[0], batch)
             return step_core(params, state, opt_state, batch)
+
+        if model_axis is None:
+            pspec, ospec = P(), P()
+            bspec = P("data")
+        else:
+            # head D-sharded over 'model': the final conv + its Adam moments
+            # live as (…, D/m) shards; targets ship as (data, cap, D/m)
+            pspec = head_sharded_specs(params)
+            ospec = head_sharded_specs(opt_state)
+            bspec = jax.tree_util.tree_map(lambda _: P("data"), batches)
+            bspec = bspec._replace(feat_3d=P("data", None, "model"))
+        n_out = 5 if geo_caps is not None else 4
+        out_specs = (pspec, P(), ospec) + (P(),) * (n_out - 3)
         return jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(P(), P(), P(), P("data")),
-            out_specs=(P(),) * n_out,
+            in_specs=(pspec, P(), ospec, bspec),
+            out_specs=out_specs,
             check_vma=False,  # scan carries inside the convs start unvarying
         )(params, state, opt_state, batches)
 
@@ -212,12 +251,18 @@ def make_val_step(cfg: Config, mesh=None):
     arch = cfg.arch_3d
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     const_in = not cfg.input_color
+    from ..parallel.mesh import model_axis_size
+    model_axis = "model" if model_axis_size(mesh) > 1 else None
 
     def step_core(params, state, text, batch):
         x = batch.feats.astype(cdtype)
         out, _ = apply_unet(params, state, x, batch.geo, arch=arch,
                             train=False, constant_input=const_in)
+        # D-sharded head: out and text are (…, D/m) shards; the class-logit
+        # contraction over D completes with a psum over 'model'
         logits_v = out @ jnp.asarray(text).T.astype(jnp.float32)
+        if model_axis is not None:
+            logits_v = jax.lax.psum(logits_v, model_axis)
         logits = jnp.take(logits_v, batch.inds_reconstruct, axis=0)
         labels = batch.point_labels
         pred = jnp.argmax(logits, axis=-1)
@@ -238,19 +283,48 @@ def make_val_step(cfg: Config, mesh=None):
 
     from jax.sharding import PartitionSpec as P
 
+    from ..parallel.mesh import head_sharded_specs
+
     def sharded(params, state, text, batches):
         def inner(params, state, text, batch):
             batch = jax.tree_util.tree_map(lambda x: x[0], batch)
             out = step_core(params, state, text, batch)
             return jax.lax.psum(out, "data")
+
+        pspec = P() if model_axis is None else head_sharded_specs(params)
+        tspec = P() if model_axis is None else P(None, "model")
         return jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(P(), P(), P(), P("data")),
+            in_specs=(pspec, P(), tspec, P("data")),
             out_specs=(P(), P(), P(), P(), P()),
             check_vma=False,
         )(params, state, text, batches)
 
     return jax.jit(sharded)
+
+
+def host_batch_from_raw(raw) -> DistillBatch:
+    """Rebuild a host-geometry DistillBatch from a RawDistillBatch (overflow
+    fallback: window-plan spill bucket or level cap outgrown)."""
+    from ..sparse.geometry import GeometryCaps, build_unet_geometry
+    n = int(raw.num)
+    coords = np.asarray(raw.coords[:n])
+    geo = build_unet_geometry(coords, caps=GeometryCaps.for_count(n))
+    cap0 = geo.levels[0].cap
+    pad0 = cap0 - raw.coords.shape[0]
+
+    def grow(a, fill=0.0):
+        a = np.asarray(a)
+        if pad0 == 0:
+            return a
+        if pad0 > 0:
+            width = [(0, pad0)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width, constant_values=fill)
+        return a[:cap0]
+
+    return DistillBatch(geo=geo, feats=grow(raw.feats),
+                        feat_3d=grow(raw.feat_3d), mask=grow(raw.mask),
+                        labels=grow(raw.labels, 255), num_voxels=n)
 
 
 class DistillTrainer:
@@ -283,9 +357,12 @@ class DistillTrainer:
                         "data_parallel>1 BN statistics are always "
                         "synchronized (pmean'd in the sharded step)")
         if cfg.model_parallel > 1:
-            log.warning("model_parallel=%d: head channel-sharding is not "
-                        "implemented yet; devices along the 'model' axis "
-                        "will duplicate work", cfg.model_parallel)
+            assert self.dim % cfg.model_parallel == 0, (
+                f"model_parallel={cfg.model_parallel} must divide the "
+                f"distill head dim {self.dim}")
+            log.info("model_parallel=%d: distill head D-sharded over the "
+                     "'model' axis (%d-wide shards)", cfg.model_parallel,
+                     self.dim // cfg.model_parallel)
         # reference divides the global batch over ranks (run/distill.py:146)
         self.per_dev_batch = max(cfg.batch_size // self.n_dp, 1)
         self._train_caps = None
@@ -294,16 +371,12 @@ class DistillTrainer:
         self._val_point_cap = None
         # device-side geometry: kernel maps built inside the jitted step
         # ("auto": on TPU, where the searchsorted probes run at HBM speed;
-        # host/XLA-gather geometry elsewhere). Sharded mode keeps the host
-        # builder for now (per-shard in-jit build composes with shard_map
-        # but is unmeasured there).
+        # host/XLA-gather geometry elsewhere). Under a mesh the build runs
+        # per-shard inside shard_map (each device constructs its own batch's
+        # kernel maps — the caps are shared so it is one program).
         dg = str(cfg.device_geometry).lower()
         self.device_geometry = (jax.default_backend() == "tpu"
                                 if dg == "auto" else dg in ("on", "true", "1"))
-        if self.device_geometry and self.mesh is not None:
-            log.info("device_geometry: sharded training keeps the host "
-                     "builder (set device_geometry=on to force)")
-            self.device_geometry = dg in ("on", "true", "1")
         self._dg_steps: Dict[Tuple, object] = {}
         self._host_step = None
 
@@ -351,9 +424,11 @@ class DistillTrainer:
             log.info("resumed from %s (epoch %d)", cfg.resume, self.start_epoch)
         if self.mesh is not None:
             from ..parallel.mesh import replicate
-            self.params = replicate(self.mesh, self.params)
+            self.params = replicate(self.mesh, self.params,
+                                    head_sharded=True)
             self.state = replicate(self.mesh, self.state)
-            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.opt_state = replicate(self.mesh, self.opt_state,
+                                       head_sharded=True)
 
     def _build_sharded(self, samples):
         """Per-device sample lists -> stacked+sharded DistillBatch with a
@@ -381,6 +456,23 @@ class DistillTrainer:
             self._train_caps = caps
         return shard_batch(self.mesh, batches)
 
+    def _build_sharded_raw(self, samples):
+        """Per-device sample lists -> stacked+sharded RawDistillBatch with a
+        shared persistent cap schedule; geometry is built per-shard inside
+        the jitted step."""
+        from ..data.sharded import assemble_sharded_raw_batches
+        from ..parallel.mesh import shard_batch
+
+        per_dev = [samples[d * self.per_dev_batch:(d + 1) * self.per_dev_batch]
+                   for d in range(self.n_dp)]
+        with self._caps_lock:
+            caps = self._train_caps
+        batches, caps = assemble_sharded_raw_batches(per_dev, self.dim,
+                                                     rng=self.rng, caps=caps)
+        with self._caps_lock:
+            self._train_caps = caps
+        return shard_batch(self.mesh, batches), caps.fixed
+
     def _raw_step(self, caps: Tuple[int, ...]):
         """Device-geometry train step, cached per static cap signature."""
         if caps not in self._dg_steps:
@@ -390,27 +482,46 @@ class DistillTrainer:
         return self._dg_steps[caps]
 
     def _host_batch_from_raw(self, raw):
-        """Rebuild a host-geometry DistillBatch from a raw batch (overflow
-        fallback: window-plan spill bucket or level cap outgrown)."""
-        from ..sparse.geometry import GeometryCaps, build_unet_geometry
-        n = int(raw.num)
-        coords = np.asarray(raw.coords[:n])
-        geo = build_unet_geometry(coords, caps=GeometryCaps.for_count(n))
-        cap0 = geo.levels[0].cap
-        pad0 = cap0 - raw.coords.shape[0]
+        return host_batch_from_raw(raw)
 
-        def grow(a, fill=0.0):
-            a = np.asarray(a)
-            if pad0 == 0:
+    def _host_batches_from_raw_sharded(self, raw):
+        """Sharded overflow fallback: rebuild host-geometry DistillBatches
+        (one shared cap schedule) from a stacked RawDistillBatch and reshard
+        them for the host-geometry mesh step."""
+        from ..data.sharded import stack_batches
+        from ..parallel.mesh import shard_batch
+        from ..sparse.geometry import (GeometryCaps, _bucket,
+                                       build_unet_geometry, level_counts)
+
+        raw = jax.tree_util.tree_map(np.asarray, raw)
+        counts = [0] * 5
+        slices = []
+        for d in range(self.n_dp):
+            n = int(raw.num[d])
+            coords = raw.coords[d][:n]
+            slices.append((n, coords))
+            for l, c in enumerate(level_counts(coords)):
+                counts[l] = max(counts[l], c)
+        caps = GeometryCaps(cap0=_bucket(counts[0]),
+                            fixed=tuple(_bucket(c) for c in counts))
+        cap0 = caps.fixed[0]
+
+        def fit(a, fill=0.0):
+            if a.shape[0] == cap0:
                 return a
-            if pad0 > 0:
-                width = [(0, pad0)] + [(0, 0)] * (a.ndim - 1)
-                return np.pad(a, width, constant_values=fill)
-            return a[:cap0]
+            if a.shape[0] > cap0:  # rows >= num are padding; safe to trim
+                return a[:cap0]
+            width = [(0, cap0 - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width, constant_values=fill)
 
-        return DistillBatch(geo=geo, feats=grow(raw.feats),
-                            feat_3d=grow(raw.feat_3d), mask=grow(raw.mask),
-                            labels=grow(raw.labels, 255), num_voxels=n)
+        batches = []
+        for d, (n, coords) in enumerate(slices):
+            geo = build_unet_geometry(coords, caps=caps)
+            batches.append(DistillBatch(
+                geo=geo, feats=fit(raw.feats[d]),
+                feat_3d=fit(raw.feat_3d[d]), mask=fit(raw.mask[d]),
+                labels=fit(raw.labels[d], 255), num_voxels=n))
+        return shard_batch(self.mesh, stack_batches(batches))
 
     def _epoch_batches(self):
         """Batches built ``workers`` threads ahead of the device step
@@ -425,6 +536,8 @@ class DistillTrainer:
             idxs = order[i * bs:(i + 1) * bs]
             samples = [self.train_data.get(j) for j in idxs]
             if self.mesh is not None:
+                if self.device_geometry:
+                    return self._build_sharded_raw(samples)
                 return self._build_sharded(samples)
             if self.device_geometry:
                 with self._caps_lock:
@@ -473,12 +586,19 @@ class DistillTrainer:
                     # pre-update trees; re-run through the host-geometry path
                     log.warning("device-geometry spill overflow; re-running "
                                 "batch %d via the host builder", i)
-                    if self._host_step is None:
-                        self._host_step = make_train_step(self.cfg, self.opt)
-                    hb = self._host_batch_from_raw(batch)
-                    (self.params, self.state, self.opt_state,
-                     loss) = self._host_step(self.params, self.state,
-                                             self.opt_state, hb)
+                    if self.mesh is not None:
+                        hb = self._host_batches_from_raw_sharded(batch)
+                        (self.params, self.state, self.opt_state,
+                         loss) = self.step_fn(self.params, self.state,
+                                              self.opt_state, hb)
+                    else:
+                        if self._host_step is None:
+                            self._host_step = make_train_step(self.cfg,
+                                                              self.opt)
+                        hb = self._host_batch_from_raw(batch)
+                        (self.params, self.state, self.opt_state,
+                         loss) = self._host_step(self.params, self.state,
+                                                 self.opt_state, hb)
             else:
                 self.params, self.state, self.opt_state, loss = self.step_fn(
                     self.params, self.state, self.opt_state, batch)
@@ -671,6 +791,11 @@ def main(argv=None):
         else:
             rest.append(a)
     cfg = load_config(cfg_path, tuple(rest))
+    from ..parallel.mesh import maybe_initialize_distributed
+    if maybe_initialize_distributed(cfg):
+        log.info("multi-host: process %d/%d, %d global devices",
+                 jax.process_index(), jax.process_count(),
+                 len(jax.devices()))
     os.makedirs(join(cfg.save_path, "model"), exist_ok=True)
     trainer = DistillTrainer(cfg)
     return trainer.fit()

@@ -101,6 +101,8 @@ def main(argv=None):
         else:
             rest.append(a)
     cfg = load_config(cfg_path, tuple(rest))
+    from ..parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(cfg)
     results = evaluate_seg(cfg)
     log.info("final mIoU: %.4f", results["miou"])
     return results

@@ -219,6 +219,8 @@ def main(argv=None):
         else:
             rest.append(a)
     cfg = load_config(cfg_path, tuple(rest))
+    from ..parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(cfg)
     os.makedirs(join(cfg.save_path, "model"), exist_ok=True)
     return SegTrainer(cfg).fit()
 

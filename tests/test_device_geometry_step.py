@@ -71,6 +71,60 @@ def test_device_geometry_step_matches_host():
                                    rtol=2e-6, atol=2e-7)
 
 
+def test_overflow_keeps_state_and_host_fallback_matches():
+    """An overflowing cap schedule must (a) flag overflow, (b) leave
+    params/state/opt_state untouched, and (c) the trainer's host-geometry
+    fallback (host_batch_from_raw) must produce the same update as a pure
+    host-geometry step on the same samples."""
+    import jax
+    import jax.numpy as jnp
+
+    from openscene_tpu.models import init_unet
+    from openscene_tpu.runtime.distill import (host_batch_from_raw,
+                                               make_optimizer,
+                                               make_train_step)
+
+    dim = 32
+    samples = _samples(dim=dim)
+    raw, caps = assemble_raw_distill_batch(samples, dim, caps=None,
+                                           rng=np.random.default_rng(3),
+                                           shift=False)
+
+    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine")
+    params, state = init_unet(jax.random.PRNGKey(0), 3, dim,
+                              arch="MinkUNet14A")
+    opt, _ = make_optimizer(cfg, max_iter=100)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+
+    # (a)+(b): starve level 1 so the down edge overflows its static cap
+    bad_caps = (caps.fixed[0], 256) + caps.fixed[2:]
+    bad_step = make_train_step(cfg, opt, geo_caps=bad_caps)
+    p, s, o, loss, overflow = bad_step(copy(params), copy(state),
+                                       opt.init(params), raw)
+    assert bool(overflow)
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(params_np)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # (c): host fallback == a host-geometry step assembled from scratch
+    host_step = make_train_step(cfg, opt)
+    hb = host_batch_from_raw(raw)
+    p1, s1, o1, loss1 = host_step(copy(params), copy(state),
+                                  opt.init(params), hb)
+    from openscene_tpu.data.batch import assemble_distill_batch
+    ref = assemble_distill_batch(samples, dim, caps=caps,
+                                 rng=np.random.default_rng(3), shift=False)
+    p2, s2, o2, loss2 = host_step(copy(params), copy(state),
+                                  opt.init(params), ref)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-6, atol=2e-7)
+
+
 def test_raw_caps_merge_and_reuse():
     dim = 16
     s1 = _samples(n_scenes=1, n=800, dim=dim, seed=1)

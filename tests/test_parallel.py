@@ -59,6 +59,112 @@ def test_sharded_step_matches_per_device_mean():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 devices")
+def test_sharded_device_geometry_step_matches_single():
+    """Device-geometry (in-jit per-shard kernel maps) under shard_map:
+    loss == mean of single-device device-geometry losses, no overflow."""
+    from openscene_tpu.data.sharded import assemble_sharded_raw_batches
+
+    n_dev = 2
+    dim = 32
+    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine")
+    per_dev = [_synthetic_batch(n_points=3000, dim=dim, seed=5 + d,
+                                voxel=0.1, rng=np.random.default_rng(d))
+               for d in range(n_dev)]
+    batches, caps = assemble_sharded_raw_batches(
+        per_dev, dim, rng=np.random.default_rng(1))
+
+    params, state = init_unet(jax.random.PRNGKey(0), 3, dim,
+                              arch="MinkUNet14A")
+    opt, _ = make_optimizer(cfg, max_iter=100)
+    opt_state = opt.init(params)
+
+    single = make_train_step(cfg, opt, geo_caps=caps.fixed)
+    losses = []
+    for d in range(n_dev):
+        sub = jax.tree_util.tree_map(lambda x: x[d], batches)
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        _, _, _, l, ov = single(copy(params), copy(state), opt.init(params),
+                                sub)
+        assert not bool(ov)
+        losses.append(float(l))
+
+    mesh = get_mesh(data=n_dev, model=1, devices=jax.devices()[:n_dev])
+    sharded = make_train_step(cfg, opt, mesh=mesh, geo_caps=caps.fixed)
+    p = replicate(mesh, params)
+    s = replicate(mesh, state)
+    o = replicate(mesh, opt_state)
+    b = shard_batch(mesh, batches)
+    new_p, new_s, new_o, loss, overflow = sharded(p, s, o, b)
+
+    assert not bool(overflow)
+    assert float(loss) == pytest.approx(np.mean(losses), rel=1e-5)
+    leaf = jax.tree_util.tree_leaves(new_p)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+def test_model_axis_head_sharding_matches_single():
+    """data=2 x model=2 mesh with the distill head D-sharded over 'model':
+    loss and updated head must match the per-device single-step mean."""
+    from openscene_tpu.parallel.mesh import head_sharded_specs
+
+    n_data, n_model = 2, 2
+    dim = 32
+    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine")
+    per_dev = [_synthetic_batch(n_points=3000, dim=dim, seed=5 + d,
+                                voxel=0.1, rng=np.random.default_rng(d))
+               for d in range(n_data)]
+    batches, caps = assemble_sharded_distill_batches(
+        per_dev, dim, rng=np.random.default_rng(1))
+
+    params, state = init_unet(jax.random.PRNGKey(0), 3, dim,
+                              arch="MinkUNet14A")
+    opt, _ = make_optimizer(cfg, max_iter=100)
+
+    single = make_train_step(cfg, opt)
+    losses, finals = [], []
+    for d in range(n_data):
+        sub = jax.tree_util.tree_map(lambda x: x[d], batches)
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        p1, _, _, l = single(copy(params), copy(state), opt.init(params), sub)
+        losses.append(float(l))
+        finals.append(np.asarray(p1["final"], np.float64))
+
+    mesh = get_mesh(data=n_data, model=n_model,
+                    devices=jax.devices()[:n_data * n_model])
+    sharded = make_train_step(cfg, opt, mesh=mesh)
+    p = replicate(mesh, params, head_sharded=True)
+    s = replicate(mesh, state)
+    o = replicate(mesh, opt.init(params), head_sharded=True)
+    b = shard_batch(mesh, batches)
+    # head leaves really are D-sharded
+    spec = head_sharded_specs(p)["final"]
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
+    new_p, new_s, new_o, loss = sharded(p, s, o, b)
+
+    assert float(loss) == pytest.approx(np.mean(losses), rel=1e-5)
+    # the updated (gathered) head equals the mean-gradient update: with
+    # identical Adam state, update(mean(g)) == mean(update(g)) only to first
+    # order, so compare against a fresh sharded-vs-replicated run instead:
+    # replicated (model=1) mesh over the same 2 data shards
+    mesh_dp = get_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
+    dp = make_train_step(cfg, opt, mesh=mesh_dp)
+    p2, s2, o2, loss2 = dp(replicate(mesh_dp, params),
+                           replicate(mesh_dp, state),
+                           replicate(mesh_dp, opt.init(params)),
+                           shard_batch(mesh_dp, batches))
+    assert float(loss) == pytest.approx(float(loss2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(new_p["final"], np.float32),
+                               np.asarray(p2["final"], np.float32),
+                               rtol=2e-5, atol=2e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(new_p),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_cli_data_parallel_training(tmp_path):
     """CLI-launched data-parallel training: cfg.data_parallel engages the
