@@ -287,6 +287,23 @@ class ZeroShotEvaluator:
                 feat_3d=np.zeros((1, self.dim), np.float32),
                 feat_mask=np.ones(1, bool))
 
+        # one calibration pass over the WHOLE split -> one compiled shape
+        # family for every device-group (per-group re-bucketing recompiled
+        # the step each time a group grew the max cap: ~4-14min per compile
+        # through this remote-compile tunnel on a 312-scene val split)
+        counts = [1] * 5
+        max_pts = 1
+        for s in samples:
+            c4 = np.concatenate(
+                [np.zeros((len(s.coords), 1), np.int64),
+                 s.coords.astype(np.int64)], axis=1)
+            for l, c in enumerate(level_counts(c4)):
+                counts[l] = max(counts[l], c)
+            max_pts = max(max_pts, len(s.labels))
+        fixed = tuple(_bucket(c) for c in counts)
+        caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
+        pcap = _bucket(max_pts)
+
         it = enumerate(samples)
         done = False
         while not done:
@@ -302,18 +319,6 @@ class ZeroShotEvaluator:
             real = len(group)
             while len(group) < self.n_dp:
                 group.append((-1, dummy()))
-            counts = [1] * 5
-            max_pts = 1
-            for _, s in group:
-                c4 = np.concatenate(
-                    [np.zeros((len(s.coords), 1), np.int64),
-                     s.coords.astype(np.int64)], axis=1)
-                for l, c in enumerate(level_counts(c4)):
-                    counts[l] = max(counts[l], c)
-                max_pts = max(max_pts, len(s.labels))
-            fixed = tuple(_bucket(c) for c in counts)
-            caps = GeometryCaps(cap0=fixed[0], fixed=fixed)
-            pcap = _bucket(max_pts)
             batches = stack_batches([
                 assemble_eval_batch([s], self.dim, caps=caps, point_cap=pcap,
                                     need_model=need_model)
@@ -452,6 +457,8 @@ def main(argv=None):
         else:
             rest.append(a)
     cfg = load_config(cfg_path, tuple(rest))
+    from ..parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(cfg)
     params, state = load_model_for_eval(cfg)
     ev = ZeroShotEvaluator(cfg, params, state)
     out_dir = cfg.save_folder if cfg.save_feature_as_numpy else ""
