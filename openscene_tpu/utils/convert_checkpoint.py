@@ -33,10 +33,14 @@ explicit, switchable parameter:
 
 ``probe_region_order`` picks the right one empirically from a real
 checkpoint + one real scene (a wrong order spatially scrambles every 27-tap
-kernel, collapsing distill cosine alignment / val mIoU), and
-``tests/test_convert_checkpoint.py`` pins the permutation algebra against
-``torch.nn.functional.conv3d`` on a dense grid so the inversion logic itself
-cannot silently regress.
+kernel, collapsing distill cosine alignment / val mIoU);
+``scripts/decide_region_order.py`` wraps it as the one-command decision
+procedure (margin-gated, exits nonzero on ambiguity).  The permutation
+algebra is pinned TWICE offline: ``tests/test_convert_checkpoint.py``
+re-derives dense ``torch.nn.functional.conv3d`` goldens for both orders at
+test time, and checks the committed byte-level fixture
+``tests/fixtures/region_order_golden.npz`` — so when a checkpoint arrives
+the only open question is which order ME used, answered by that script.
 """
 
 from __future__ import annotations

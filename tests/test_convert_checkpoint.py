@@ -134,6 +134,35 @@ def test_converted_kernel_matches_dense_conv3d(region_order):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("region_order", ["x_fastest", "z_fastest"])
+def test_region_order_golden_fixture(region_order):
+    """Committed golden fixture (tests/fixtures/region_order_golden.npz):
+    recorded dense-conv3d activations for BOTH candidate ME region orders on
+    a fixed scene/kernel. Pins the permutation algebra against bytes on disk
+    (no torch at check time), so the day a real checkpoint arrives the only
+    open question is which order ME used — decided by one command,
+    scripts/decide_region_order.py."""
+    import os
+
+    from openscene_tpu.sparse.geometry import build_unet_geometry
+    from openscene_tpu.sparse.ops import sparse_conv
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "region_order_golden.npz")
+    z = np.load(path)
+    c4, feats, w_me = z["coords"], z["feats"], z["w_me"]
+    golden = z[f"golden_{region_order}"]
+
+    geo = build_unet_geometry(c4, build_windows=False)
+    cap = geo.levels[0].cap
+    x = np.zeros((cap, feats.shape[1]), np.float32)
+    x[:len(c4)] = feats
+    w_ours = w_me[me_offset_permutation(3, region_order)]
+    out = np.asarray(sparse_conv(x, w_ours, geo.self3[0].fwd,
+                                 geo.self3[0].flip_perm))[:len(c4)]
+    np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-4)
+
+
 def test_kernel_permutation_applied():
     """A kernel whose value encodes the ME region index must come out
     reordered to our x-major offset order."""
