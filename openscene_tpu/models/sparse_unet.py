@@ -45,7 +45,7 @@ def _stencil_conv(x, w, plan, wplan):
     if wplan is not None:
         return windowed_sparse_conv(x, w, plan.flip_perm, wplan.win_start,
                                     wplan.g0pack, wplan.lidx,
-                                    wplan.spill_tiles, wplan.spill_fwd)
+                                    wplan.spill_ent, wplan.spill_fwd)
     return sparse_conv(x, w, plan.fwd, plan.flip_perm)
 
 

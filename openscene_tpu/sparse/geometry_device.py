@@ -324,17 +324,16 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     """Device analogue of pallas_conv.build_window_plan.
 
     Returns (WindowPlan, spill_overflow) where ``spill_overflow`` is a traced
-    bool scalar: True when more than ``spill_cap`` tiles exceeded their
-    windows (the host builder would fall back to the XLA path; inside a jit
-    the caller must surface the flag and re-dispatch — see
-    runtime/distill.py).  Differences from the host builder: the spill
-    bucket is a fixed ``spill_cap`` instead of a measured power of two.
-    Its size is a real cost: every conv's spill correction gathers +
-    scatters spill_cap*TILE rows regardless of actual spills (a ntiles/8
-    default measured ~2x on the whole train step vs the host's measured
-    buckets).  Real scenes spill ~2-3% of tiles at WIN=512
-    (scripts/dev_window_stats); default ~3.1% headroom, overflow ->
-    trainer re-runs the batch via the host path.
+    bool scalar: True when more than ``spill_cap`` (tile, class) ENTRIES
+    exceeded their windows (the host builder would fall back to the XLA
+    path; inside a jit the caller must surface the flag and re-dispatch —
+    see runtime/distill.py).  Differences from the host builder: the spill
+    bucket is a fixed ``spill_cap`` instead of a measured count.  Its size
+    is a real cost: every conv's spill correction gathers + scatters
+    spill_cap*KC*TILE rows regardless of actual spills.  Real scenes spill
+    2-3% of tiles at WIN=512 with ~1 overflowing class per spilled tile
+    (scripts/dev_window_stats); the ~4.2%-of-ntiles default gives ~1.5x
+    headroom, overflow -> trainer re-runs the batch via the host path.
     """
     from .pallas_conv import INVALID, MTILE, NCLASS, TILE, WIN, WindowPlan
 
@@ -342,9 +341,13 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     assert cap >= WIN and cap % (MTILE * TILE) == 0, (cap, WIN, TILE)
     offsets = stencil_offsets(kernel_size)
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
+    KC = K // NCLASS
     ntiles = cap // TILE
     if spill_cap is None:
-        spill_cap = max(8, 1 << (int((ntiles + 31) // 32 - 1).bit_length()))
+        # per-(tile,class) ENTRY bucket, 64-granular: real scenes spill
+        # 2-3% of tiles and ~1 class per spilled tile; ~4.2% of tiles as
+        # entries gives ~1.5x headroom without pow2 overshoot
+        spill_cap = max(16, -(-ntiles // 24 // 64) * 64)
     f = fwd.reshape(K, ntiles, TILE)
     valid = f < num
     imax = jnp.int32(np.iinfo(np.int32).max)
@@ -352,7 +355,7 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
 
     win_start = []
     lidx = jnp.full((ntiles, K, TILE), INVALID, dtype=jnp.int32)
-    bad = jnp.zeros((ntiles,), dtype=bool)
+    bad_c = []
     for c in range(NCLASS):
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))
@@ -360,27 +363,32 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
         start = jnp.minimum((mn // 64) * 64, cap - WIN)
         win_start.append(start)
         mx = jnp.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad = bad | ((mx - start) >= WIN)
+        bad = (mx - start) >= WIN
+        bad_c.append(bad)
         loc = f[ks] - start[None, :, None]
         loc = jnp.where(valid[ks], loc, INVALID)
+        loc = jnp.where(bad[None, :, None], INVALID, loc)
         lidx = lidx.at[:, ks, :].set(jnp.transpose(loc, (1, 0, 2)))
     win_start = jnp.stack(win_start, axis=1).astype(jnp.int32)
 
-    lidx = jnp.where(bad[:, None, None], INVALID, lidx)
-    n_spill = bad.astype(jnp.int32).sum()
-    rank = jnp.cumsum(bad.astype(jnp.int32)) - 1
-    spill_tiles = jnp.full((spill_cap,), -1, dtype=jnp.int32)
-    tgt = jnp.where(bad & (rank < spill_cap), rank, spill_cap)
-    spill_tiles = spill_tiles.at[tgt].set(
-        jnp.arange(ntiles, dtype=jnp.int32), mode="drop")
-    spill_fwd = jnp.take(f, jnp.maximum(spill_tiles, 0), axis=1)
-    spill_fwd = jnp.where((spill_tiles >= 0)[None, :, None], spill_fwd, 0)
+    bad_flat = jnp.stack(bad_c, axis=1).reshape(-1)  # (ntiles*NCLASS,)
+    n_spill = bad_flat.astype(jnp.int32).sum()
+    rank = jnp.cumsum(bad_flat.astype(jnp.int32)) - 1
+    spill_ent = jnp.full((spill_cap,), -1, dtype=jnp.int32)
+    tgt = jnp.where(bad_flat & (rank < spill_cap), rank, spill_cap)
+    spill_ent = spill_ent.at[tgt].set(
+        jnp.arange(ntiles * NCLASS, dtype=jnp.int32), mode="drop")
+    # entry e = tile*NCLASS + class -> that class's KC offset rows
+    f_by_ent = jnp.transpose(f.reshape(NCLASS, KC, ntiles, TILE),
+                             (2, 0, 1, 3)).reshape(ntiles * NCLASS, KC, TILE)
+    spill_fwd = jnp.take(f_by_ent, jnp.maximum(spill_ent, 0), axis=0)
+    spill_fwd = jnp.where((spill_ent >= 0)[:, None, None], spill_fwd, 0)
 
     plan = WindowPlan(win_start=win_start,
                       lidx=lidx,
                       g0pack=jnp.zeros((ntiles, NCLASS), jnp.int32),
                       k_class=k_class,
-                      spill_tiles=spill_tiles, spill_fwd=spill_fwd)
+                      spill_ent=spill_ent, spill_fwd=spill_fwd)
     return plan, n_spill > spill_cap
 
 

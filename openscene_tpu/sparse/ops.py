@@ -33,14 +33,49 @@ def valid_mask(num, cap: int, dtype=jnp.float32):
     return (jnp.arange(cap)[:, None] < num).astype(dtype)
 
 
+# Above this many gathered elements (K * rows * C) the one-shot im2col
+# buffer would rival the activations themselves in HBM; scan instead.
+# 2^28 elems = 512MB bf16: admits every down/up edge and spill bucket at
+# bench scale while keeping the full-cap 27-tap XLA conv on the scan path.
+_IM2COL_MAX_ELEMS = 1 << 28
+
+
+def _take_rows(x, idx):
+    """Row gather.  TPU row-gathers are INDEX-bound (~12ns/row for any
+    width <= 128 lanes), but narrow bf16 rows still gain ~1.8x measured
+    when gathered as bitcast f32 channel pairs (half the lanes); wide
+    widths regress through the bitcast reshape, keep them raw."""
+    C = x.shape[1]
+    if x.dtype == jnp.bfloat16 and C in (32, 64):
+        xp = jax.lax.bitcast_convert_type(
+            x.reshape(-1, C // 2, 2), jnp.float32)
+        g = jnp.take(xp, idx, axis=0)
+        return jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(-1, C)
+    return jnp.take(x, idx, axis=0)
+
+
 def _gather_matmul_sum(x, w, fwd, out_rows: int):
-    """sum_k x[fwd[k]] @ w[k] with fp32 accumulation, via lax.scan over K."""
+    """sum_k x[fwd[k]] @ w[k] with fp32 accumulation.
+
+    Fast path: ONE row-gather of all K index planes + ONE (rows, K*C) @
+    (K*C, Cout) im2col GEMM — a K-iteration lax.scan of gather+GEMM pays
+    K dispatch/loop overheads and K small-M GEMMs, measured ~4x slower at
+    down/up-edge shapes (profile: the edge scans + spill scans were ~35%
+    of the round-2 train step).  Falls back to the scan when the im2col
+    buffer would be oversized (the full-cap 27-tap stencil path)."""
     cdtype = x.dtype
+    K, C = w.shape[0], x.shape[1]
+
+    if fwd.size * C <= _IM2COL_MAX_ELEMS:
+        g = _take_rows(x, fwd.reshape(-1))                # (K*rows, C)
+        g = g.reshape(K, -1, C).transpose(1, 0, 2).reshape(-1, K * C)
+        return jnp.dot(g, w.reshape(K * C, -1).astype(cdtype),
+                       preferred_element_type=jnp.float32)
 
     def step(acc, kslice):
         idx, wk = kslice
-        g = jnp.take(x, idx, axis=0)
-        acc = acc + jnp.dot(g, wk.astype(cdtype),
+        gk = jnp.take(x, idx, axis=0)
+        acc = acc + jnp.dot(gk, wk.astype(cdtype),
                             preferred_element_type=jnp.float32)
         return acc, None
 
@@ -117,20 +152,27 @@ def _down_fwd(x, w, plan):
 def _down_bwd(res, g):
     x, w, plan = res
     cdtype = x.dtype
+    K, C = w.shape[0], x.shape[1]
     # dx[c] = g[parent(c)] @ w[offset(c)].T : transform-then-gather (one
     # gather for the whole backward input).
     y = jnp.einsum("pd,kdc->kpc", g, jnp.transpose(w, (0, 2, 1)).astype(cdtype),
                    preferred_element_type=jnp.float32).astype(cdtype)
     parent_cap = g.shape[0]
     flat_idx = plan.child_offset * parent_cap + plan.child_parent
-    dx = jnp.take(y.reshape(-1, x.shape[1]), flat_idx, axis=0)
+    dx = _take_rows(y.reshape(-1, x.shape[1]), flat_idx)
 
-    def step(_, idx):
-        gx = jnp.take(x, idx, axis=0)
-        return None, jnp.dot(gx.T, g.astype(cdtype),
-                             preferred_element_type=jnp.float32)
+    if plan.fwd.size * C <= _IM2COL_MAX_ELEMS:
+        # dW via one im2col: X_g (rows, K*C); dW[k] = X_g[:, kC:(k+1)C]^T @ g
+        gx = _take_rows(x, plan.fwd.reshape(-1)).reshape(K, -1, C)
+        dw = jnp.einsum("kpc,pd->kcd", gx, g.astype(cdtype),
+                        preferred_element_type=jnp.float32)
+    else:
+        def step(_, idx):
+            gxk = jnp.take(x, idx, axis=0)
+            return None, jnp.dot(gxk.T, g.astype(cdtype),
+                                 preferred_element_type=jnp.float32)
 
-    _, dw = jax.lax.scan(step, None, plan.fwd)
+        _, dw = jax.lax.scan(step, None, plan.fwd)
     return dx, dw.astype(w.dtype), None
 
 
@@ -151,7 +193,7 @@ def sparse_up_conv(x, w, plan):
                    preferred_element_type=jnp.float32).astype(cdtype)
     parent_cap = x.shape[0]
     flat_idx = plan.child_offset * parent_cap + plan.child_parent
-    return jnp.take(y.reshape(-1, w.shape[-1]), flat_idx, axis=0)
+    return _take_rows(y.reshape(-1, w.shape[-1]), flat_idx)
 
 
 def _up_fwd(x, w, plan):
@@ -161,16 +203,27 @@ def _up_fwd(x, w, plan):
 def _up_bwd(res, g):
     x, w, plan = res
     cdtype = x.dtype
+    K, Cout = w.shape[0], w.shape[2]
     w_t = jnp.transpose(w, (0, 2, 1))
-    dx = _gather_matmul_sum(g, w_t, plan.fwd, x.shape[0]).astype(cdtype)
 
-    def step(_, idx):
-        gg = jnp.take(g, idx, axis=0)  # (parent_cap, Cout) per offset
-        return None, jnp.dot(x.T, gg.astype(cdtype),
-                             preferred_element_type=jnp.float32)
-
-    _, dw = jax.lax.scan(step, None, plan.fwd)
-    return dx, dw.astype(w.dtype), None
+    # dx and dW share ONE gather of g per offset chunk: G (kc, rows, Cout);
+    # dx += G_flat @ stack_k(w[k].T), dW[k] = x^T @ G_k.  Chunking bounds
+    # the im2col buffer (the E0 edge at bench scale is 780MB unchunked).
+    rows = plan.fwd.shape[1]
+    kc = max(1, min(K, _IM2COL_MAX_ELEMS // max(rows * Cout, 1)))
+    dx = jnp.zeros((rows, x.shape[1]), jnp.float32)
+    dws = []
+    for k0 in range(0, K, kc):
+        ks = slice(k0, min(k0 + kc, K))
+        n_k = ks.stop - k0
+        G = _take_rows(g, plan.fwd[ks].reshape(-1)).reshape(n_k, -1, Cout)
+        Gf = G.transpose(1, 0, 2).reshape(-1, n_k * Cout)
+        dx = dx + jnp.dot(Gf, w_t[ks].reshape(n_k * Cout, -1).astype(cdtype),
+                          preferred_element_type=jnp.float32)
+        dws.append(jnp.einsum("pc,kpd->kcd", x, G.astype(cdtype),
+                              preferred_element_type=jnp.float32))
+    dw = jnp.concatenate(dws, axis=0) if len(dws) > 1 else dws[0]
+    return dx.astype(cdtype), dw.astype(w.dtype), None
 
 
 sparse_up_conv.defvjp(_up_fwd, _up_bwd)

@@ -80,15 +80,19 @@ class WindowPlan(NamedTuple):
     g0pack: np.ndarray      # (ntiles, NCLASS) int32: 2-bit per-offset 128-lane
     # group bases within the class window, packed 9 offsets per class
     k_class: np.ndarray     # (K,) int32 static dx-class of each offset
-    spill_tiles: np.ndarray  # (ST,) int32 tile ids needing XLA recompute (-1 pad)
-    spill_fwd: np.ndarray   # (K, ST, TILE) int32 global gather rows for spills
+    # spills are per (tile, dx-class) ENTRY — a tile whose dy/dz span
+    # overflows one class window keeps its other 18 offsets in-kernel
+    # (measured: ~7.7 of 27 offsets bad per spilled tile = ~1 class), and
+    # XLA row-gathers are INDEX-bound (~12ns/row at any width <= 128
+    # lanes), so correction cost scales with entries * KC, not tiles * K
+    spill_ent: np.ndarray   # (SE,) int32 tile*NCLASS+class (-1 pad)
+    spill_fwd: np.ndarray   # (SE, KC, TILE) int32 global gather rows
 
 
-def _bucket_pow2(n: int, lo: int = 8) -> int:
-    c = lo
-    while c < n:
-        c *= 2
-    return c
+def _bucket64(n: int, lo: int = 16) -> int:
+    """64-granular spill bucket (replaced power-of-two rounding: the pow2
+    jump doubled the L0 correction volume at 8716 tiles)."""
+    return max(lo, -(-n // 64) * 64)
 
 
 def build_window_plan(fwd: np.ndarray, num: int, cap: int,
@@ -97,13 +101,15 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     """Derive per-tile window starts + local indices from the global gather
     plan.
 
-    Tiles whose stencil inputs don't fit their WIN-row windows (~1% on real
-    scenes: plane-size outliers, scene boundaries) contribute ZERO in the
-    kernel (all-INVALID lidx) and are listed in ``spill_tiles`` for an exact
-    tile-aligned recompute through the XLA gather path — forward, dx and dW
-    all consume the same (k, row, fwd[k,row]) pair set, so the correction is
-    additive in every direction.  Returns None only when the spill fraction
-    exceeds ``max_spill_frac`` (fall back entirely).
+    A (tile, dx-class) pair whose stencil inputs don't fit the class's
+    WIN-row window (~1-3% of tiles on real scenes: plane-size outliers,
+    scene boundaries — and typically just ONE of the three class windows)
+    contributes ZERO for that class's offsets in the kernel (INVALID lidx)
+    and is listed in ``spill_ent`` for an exact recompute through the XLA
+    gather path — forward, dx and dW all consume the same
+    (k, row, fwd[k,row]) pair set, so the correction is additive in every
+    direction.  Returns None only when the spill fraction exceeds
+    ``max_spill_frac`` (fall back entirely).
     """
     K = fwd.shape[0]
     if cap < WIN or cap % (MTILE * TILE) != 0:
@@ -114,6 +120,7 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
         return None
     if (K // NCLASS) * 2 > 32:
         return None  # g0pack holds 2 bits per offset of a class in one int32
+    KC = K // NCLASS
     ntiles = cap // TILE
     f = fwd.reshape(K, ntiles, TILE)
     valid = f < num  # real neighbors only; nulls can point anywhere
@@ -121,8 +128,7 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     win_start = np.zeros((ntiles, NCLASS), dtype=np.int64)
     g0pack = np.zeros((ntiles, NCLASS), dtype=np.int64)
     lidx = np.full((ntiles, K, TILE), INVALID, dtype=np.int32)
-    bad = np.zeros(ntiles, dtype=bool)
-    G = WIN // 128
+    bad_c = np.zeros((ntiles, NCLASS), dtype=bool)
     for c in range(NCLASS):
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))          # (ntiles,)
@@ -132,27 +138,29 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
         start = np.minimum((mn // 64) * 64, cap - WIN)
         win_start[:, c] = start
         mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad |= (mx - start) >= WIN
+        bad_c[:, c] = (mx - start) >= WIN
         loc = f[ks] - start[None, :, None]     # class-window-relative
         loc = np.where(valid[ks], loc, INVALID)
+        loc = np.where(bad_c[:, c][None, :, None], INVALID, loc)
         lidx[:, ks, :] = np.transpose(loc, (1, 0, 2))
         # g0pack kept for API stability; the in-kernel dynamic-base variant it
         # fed was measured slower than the static group loop (see
         # _gather_stack) so it is currently unused (zeros)
 
-    spill_ids = np.flatnonzero(bad)
-    if len(spill_ids) > max_spill_frac * ntiles:
+    ent_ids = np.flatnonzero(bad_c.reshape(-1))  # tile*NCLASS + class
+    if len(ent_ids) > max_spill_frac * ntiles * NCLASS:
         return None
-    lidx[spill_ids] = INVALID  # kernel contributes exactly zero there
-    ST = _bucket_pow2(max(len(spill_ids), 1))
-    spill_tiles = np.full(ST, -1, dtype=np.int32)
-    spill_tiles[:len(spill_ids)] = spill_ids
-    spill_fwd = np.zeros((K, ST, TILE), dtype=np.int32)
-    spill_fwd[:, :len(spill_ids), :] = f[:, spill_ids, :]
+    SE = _bucket64(max(len(ent_ids), 1))
+    spill_ent = np.full(SE, -1, dtype=np.int32)
+    spill_ent[:len(ent_ids)] = ent_ids
+    spill_fwd = np.zeros((SE, KC, TILE), dtype=np.int32)
+    for i, e in enumerate(ent_ids):
+        t, c = divmod(int(e), NCLASS)
+        spill_fwd[i] = f[c * KC:(c + 1) * KC, t, :]
     return WindowPlan(win_start=win_start.astype(np.int32),
                       lidx=lidx.astype(np.int32),
                       g0pack=g0pack.astype(np.int32), k_class=k_class,
-                      spill_tiles=spill_tiles, spill_fwd=spill_fwd)
+                      spill_ent=spill_ent, spill_fwd=spill_fwd)
 
 
 def _gather_stack(t, g0_ref, lidx_blk, winT_ref, k_class, K, C, stack_ref,
@@ -447,23 +455,40 @@ def _pair_perm(C: int) -> np.ndarray:
     return np.concatenate([np.arange(0, C, 2), np.arange(1, C, 2)])
 
 
-def _spill_rows(spill_tiles):
-    rows = (jnp.maximum(spill_tiles, 0)[:, None] * TILE
-            + jnp.arange(TILE)[None, :])
-    return rows.reshape(-1)  # (ST*TILE,)
+def _spill_rows(spill_ent):
+    tiles = jnp.maximum(spill_ent, 0) // NCLASS
+    rows = tiles[:, None] * TILE + jnp.arange(TILE)[None, :]
+    return rows.reshape(-1)  # (SE*TILE,)
 
 
-def _spill_gather_matmul(src, w_stack, spill_fwd, valid_rows):
-    """sum_k src[spill_fwd[k]] @ w_stack[k], masked by slot validity."""
-    def step(acc, ks):
-        idx, wk = ks
-        gk = jnp.take(src, idx.reshape(-1), axis=0)
-        return acc + jnp.dot(gk, wk.astype(src.dtype),
-                             preferred_element_type=jnp.float32), None
-    ST_T = spill_fwd.shape[1] * TILE
-    acc0 = jnp.zeros((ST_T, w_stack.shape[-1]), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (spill_fwd, w_stack))
-    return acc * valid_rows[:, None]
+def _spill_im2col(src, spill_fwd):
+    """ONE row-gather of every (entry, offset) pair -> (SE*TILE, KC*C)
+    im2col rows.  XLA row-gathers are INDEX-bound (~12ns/row), so one
+    gather of SE*KC*TILE indices beats both the former 27-iteration scan
+    (dispatch overhead) and tile-granular spills (3x the indices)."""
+    SE, KC, _ = spill_fwd.shape
+    C = src.shape[1]
+    G = jnp.take(src, spill_fwd.reshape(-1), axis=0)
+    return (G.reshape(SE, KC, TILE, C).transpose(0, 2, 1, 3)
+            .reshape(SE * TILE, KC * C))
+
+
+def _spill_class_select(spill_ent):
+    """(NCLASS, SE*TILE, 1) one-hot of each entry row's dx class."""
+    cls = jnp.maximum(spill_ent, 0) % NCLASS
+    sel = cls[None, :] == jnp.arange(NCLASS)[:, None]     # (NCLASS, SE)
+    return jnp.repeat(sel, TILE, axis=1)[:, :, None]
+
+
+def _spill_gather_matmul(src, w_blocks, spill_ent, spill_fwd, valid_rows):
+    """Entry-row correction sum_{k in class(e)} src[fwd[k]] @ w[k]:
+    one im2col gather + one GEMM per class (static weights) + select.
+    w_blocks: (NCLASS, KC*C, Cout) fp32."""
+    Gf = _spill_im2col(src, spill_fwd)                    # (SE*T, KC*C)
+    outs = jnp.einsum("nk,ckd->cnd", Gf, w_blocks.astype(src.dtype),
+                      preferred_element_type=jnp.float32)
+    out = jnp.sum(outs * _spill_class_select(spill_ent), axis=0)
+    return out * valid_rows[:, None]
 
 
 def _pad128(n: int) -> int:
@@ -479,14 +504,15 @@ def _static_k_class(K: int):
 
 @jax.custom_vjp
 def windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
-                         spill_tiles, spill_fwd):
+                         spill_ent, spill_fwd):
     """Drop-in stride-1 stencil conv using the windowed Pallas kernels.
 
     x: (cap, C) bf16; w: (K, C, Cout) fp32; plan arrays from
     build_window_plan. Semantics identical to sparse/ops.py:sparse_conv.
-    Spilled tiles (zeroed in-kernel) are recomputed via the XLA gather path
-    and added in.  Channel dims are zero-padded to multiples of 128 at the
-    kernel boundary (Mosaic requires 128-lane VMEM buffers).
+    Spilled (tile, class) entries (zeroed in-kernel) are recomputed via the
+    XLA gather path and added in.  Channel dims are zero-padded to
+    multiples of 128 at the kernel boundary (Mosaic requires 128-lane VMEM
+    buffers).
     """
     K, C, Cout = w.shape
     Coutp = _pad128(Cout)
@@ -518,22 +544,25 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
     wT = jnp.transpose(wp, (2, 0, 1)).reshape(Coutp, K * Cn).astype(jnp.bfloat16)
     call = _fwd_cached(K, Cn, Coutp, _static_k_class(K), P, paired=(P == 1))
     out = call(xn, wT, win_start, g0pack, lidx)[:, :Cout]
-    rows = _spill_rows(spill_tiles)
-    valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
-    sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w, spill_fwd, valid)
+    rows = _spill_rows(spill_ent)
+    valid = jnp.repeat((spill_ent >= 0).astype(jnp.float32), TILE)
+    KC = K // NCLASS
+    w_blocks = w.reshape(NCLASS, KC * C, Cout)
+    sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w_blocks, spill_ent,
+                              spill_fwd, valid)
     return out.at[rows].add(sp.astype(out.dtype))
 
 
-def _wconv_fwd(x, w, flip_perm, win_start, g0pack, lidx, spill_tiles,
+def _wconv_fwd(x, w, flip_perm, win_start, g0pack, lidx, spill_ent,
                spill_fwd):
     out = windowed_sparse_conv(x, w, flip_perm, win_start, g0pack, lidx,
-                               spill_tiles, spill_fwd)
-    return out, (x, w, flip_perm, win_start, g0pack, lidx, spill_tiles,
+                               spill_ent, spill_fwd)
+    return out, (x, w, flip_perm, win_start, g0pack, lidx, spill_ent,
                  spill_fwd)
 
 
 def _wconv_bwd(res, g):
-    x, w, flip_perm, win_start, g0pack, lidx, spill_tiles, spill_fwd = res
+    x, w, flip_perm, win_start, g0pack, lidx, spill_ent, spill_fwd = res
     K, C, Cout = w.shape
     Cp = _pad128(C)  # x-side stays padded (x_blk block input, dx out)
     gb = g.astype(jnp.bfloat16)
@@ -594,20 +623,26 @@ def _wconv_bwd(res, g):
     dw_flip = jnp.transpose(dw_acc, (0, 2, 1))[:, :C, :Cout]
 
     # --- spill corrections (additive; kernel contributed zero there) ---
-    rows = _spill_rows(spill_tiles)
-    valid = jnp.repeat((spill_tiles >= 0).astype(jnp.float32), TILE)
-    w_flip_t_stack = jnp.transpose(w_flip, (0, 2, 1))  # (K, Cout, C)
-    dx_sp = _spill_gather_matmul(gb, w_flip_t_stack, spill_fwd, valid)
+    # dx and dW share ONE gather of the cotangent at the entry pair rows;
+    # each (tile, class) entry corrects only its own class's 9 offsets
+    rows = _spill_rows(spill_ent)
+    valid = jnp.repeat((spill_ent >= 0).astype(jnp.float32), TILE)
+    KC = K // NCLASS
+    Gf = _spill_im2col(gb, spill_fwd)                  # (SE*T, KC*Cout)
+    sel = _spill_class_select(spill_ent)               # (NCLASS, SE*T, 1)
+    wflipT_blocks = jnp.transpose(w_flip, (0, 2, 1)).reshape(
+        NCLASS, KC * Cout, C)
+    dx_sps = jnp.einsum("nk,ckd->cnd", Gf, wflipT_blocks.astype(gb.dtype),
+                        preferred_element_type=jnp.float32)
+    dx_sp = jnp.sum(dx_sps * sel, axis=0) * valid[:, None]
     dx = dx.at[rows].add(dx_sp.astype(dx.dtype))
 
     x_sp = jnp.take(xb, rows, axis=0) * valid[:, None].astype(jnp.bfloat16)
-
-    def dw_step(_, idx):
-        gk = jnp.take(gb, idx.reshape(-1), axis=0)
-        return None, jnp.dot(x_sp.T, gk, preferred_element_type=jnp.float32)
-
-    _, dw_sp_flip = jax.lax.scan(dw_step, None, spill_fwd)  # (K, C, Cout)
-    dw_flip = dw_flip + dw_sp_flip
+    xm = x_sp[None] * sel.astype(jnp.bfloat16)         # (NCLASS, SE*T, C)
+    Gk = Gf.reshape(-1, KC, Cout)
+    dw_sp_flip = jnp.einsum("cnx,njd->cjxd", xm, Gk,
+                            preferred_element_type=jnp.float32)
+    dw_flip = dw_flip + dw_sp_flip.reshape(K, C, Cout)
     dw = jnp.take(dw_flip, flip_perm, axis=0)
     return (dx.astype(x.dtype), dw.astype(w.dtype), None, None, None, None,
             None, None)

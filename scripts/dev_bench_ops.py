@@ -142,7 +142,7 @@ def main():
                        f"f+b {t_fb*1e3:7.2f}ms")
             if wplan is not None:
                 wargs = (wplan.win_start, wplan.g0pack, wplan.lidx,
-                         wplan.spill_tiles, wplan.spill_fwd)
+                         wplan.spill_ent, wplan.spill_fwd)
 
                 def win_f(x, w, *wa):
                     return windowed_sparse_conv(x, w, fp, *wa)

@@ -106,18 +106,18 @@ def test_device_window_plan_matches_host():
     assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(dev.win_start), host.win_start)
     np.testing.assert_array_equal(np.asarray(dev.lidx), host.lidx)
-    host_spills = set(host.spill_tiles[host.spill_tiles >= 0].tolist())
-    dev_st = np.asarray(dev.spill_tiles)
-    dev_spills = set(dev_st[dev_st >= 0].tolist())
+    host_spills = set(host.spill_ent[host.spill_ent >= 0].tolist())
+    dev_se = np.asarray(dev.spill_ent)
+    dev_spills = set(dev_se[dev_se >= 0].tolist())
     assert dev_spills == host_spills
-    # spill_fwd rows agree for the listed tiles
+    # spill_fwd rows agree for the listed (tile, class) entries
     host_sf = np.asarray(host.spill_fwd)
     dev_sf = np.asarray(dev.spill_fwd)
-    for hpos, tile in enumerate(host.spill_tiles):
-        if tile < 0:
+    for hpos, ent in enumerate(host.spill_ent):
+        if ent < 0:
             continue
-        dpos = int(np.flatnonzero(dev_st == tile)[0])
-        np.testing.assert_array_equal(dev_sf[:, dpos], host_sf[:, hpos])
+        dpos = int(np.flatnonzero(dev_se == ent)[0])
+        np.testing.assert_array_equal(dev_sf[dpos], host_sf[hpos])
 
 
 def test_device_stem_occupancy_matches_plan():
