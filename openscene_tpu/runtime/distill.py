@@ -186,6 +186,21 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         if mesh is not None:
+            if model_axis is not None:
+                # Two effects to undo (measured exactly, test_parallel.py
+                # test_model_axis_head_sharding_matches_single):
+                # (1) each model row backprops through its OWN head D-shard
+                #     only, so backbone grads are PARTIAL per row;
+                # (2) the loss is psum'd over 'model', and psum's transpose
+                #     under shard_map SUMS the replicated grad seeds, so
+                #     every per-row grad carries an extra factor n_model.
+                # pmean over 'model' fixes the backbone (sums partials,
+                # cancels the seed factor); the head shard's grad is
+                # complete locally and only needs the 1/n_model.
+                nm = model_axis_size(mesh)
+                meaned = jax.lax.pmean(grads, model_axis)
+                grads = {**meaned, "final": jax.tree_util.tree_map(
+                    lambda g: g / nm, grads["final"])}
             grads = jax.lax.pmean(grads, "data")
             new_state = jax.lax.pmean(new_state, "data")
             loss = jax.lax.pmean(loss, "data")

@@ -111,7 +111,12 @@ def test_model_axis_head_sharding_matches_single():
 
     n_data, n_model = 2, 2
     dim = 32
-    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine")
+    # f32 compute: this test asserts MATH equality of the two mesh shapes;
+    # under bf16 the D-split (2-way psum'd) reductions round differently
+    # enough that near-cancelling gradient sums (BN betas) differ at the
+    # scale of the leaf's own max gradient
+    cfg = Config(arch_3d="MinkUNet14A", loss_type="cosine",
+                 compute_dtype="float32")
     per_dev = [_synthetic_batch(n_points=3000, dim=dim, seed=5 + d,
                                 voxel=0.1, rng=np.random.default_rng(d))
                for d in range(n_data)]
@@ -134,8 +139,11 @@ def test_model_axis_head_sharding_matches_single():
     mesh = get_mesh(data=n_data, model=n_model,
                     devices=jax.devices()[:n_data * n_model])
     sharded = make_train_step(cfg, opt, mesh=mesh)
-    p = replicate(mesh, params, head_sharded=True)
-    s = replicate(mesh, state)
+    # replicate from fresh copies: device_put may ALIAS the source buffer
+    # for the shard on the hosting device, and the donating sharded step
+    # would then delete the original params/state reused below
+    p = replicate(mesh, copy(params), head_sharded=True)
+    s = replicate(mesh, copy(state))
     o = replicate(mesh, opt.init(params), head_sharded=True)
     b = shard_batch(mesh, batches)
     # head leaves really are D-sharded
@@ -144,25 +152,36 @@ def test_model_axis_head_sharding_matches_single():
     new_p, new_s, new_o, loss = sharded(p, s, o, b)
 
     assert float(loss) == pytest.approx(np.mean(losses), rel=1e-5)
-    # the updated (gathered) head equals the mean-gradient update: with
-    # identical Adam state, update(mean(g)) == mean(update(g)) only to first
-    # order, so compare against a fresh sharded-vs-replicated run instead:
-    # replicated (model=1) mesh over the same 2 data shards
+    # Full-tree gradient parity model=2 vs model=1, via SGD updates: Adam's
+    # first step lr*g/(|g|+eps) ~ ±lr*sign(g) SATURATES, so reduction-order
+    # noise on near-cancelling psum'd gradients flips elements by ±2lr and
+    # elementwise Adam-update comparison is ill-conditioned.  SGD updates
+    # are LINEAR in the gradient: -lr*pmean(g) compares strictly.
+    import optax
+    sgd = optax.sgd(1e-2)
+    sh_sgd = make_train_step(cfg, sgd, mesh=mesh)
+    p_s, _, _, loss_s = sh_sgd(replicate(mesh, copy(params),
+                                         head_sharded=True),
+                               replicate(mesh, copy(state)),
+                               replicate(mesh, sgd.init(params),
+                                         head_sharded=True),
+                               shard_batch(mesh, batches))
     mesh_dp = get_mesh(data=n_data, model=1, devices=jax.devices()[:n_data])
-    dp = make_train_step(cfg, opt, mesh=mesh_dp)
-    p2, s2, o2, loss2 = dp(replicate(mesh_dp, params),
-                           replicate(mesh_dp, state),
-                           replicate(mesh_dp, opt.init(params)),
-                           shard_batch(mesh_dp, batches))
-    assert float(loss) == pytest.approx(float(loss2), rel=1e-5)
-    np.testing.assert_allclose(np.asarray(new_p["final"], np.float32),
-                               np.asarray(p2["final"], np.float32),
-                               rtol=2e-5, atol=2e-6)
-    for a, c in zip(jax.tree_util.tree_leaves(new_p),
-                    jax.tree_util.tree_leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(c, np.float32),
-                                   rtol=2e-5, atol=2e-6)
+    dp_sgd = make_train_step(cfg, sgd, mesh=mesh_dp)
+    p2, _, _, loss2 = dp_sgd(replicate(mesh_dp, copy(params)),
+                             replicate(mesh_dp, copy(state)),
+                             replicate(mesh_dp, sgd.init(params)),
+                             shard_batch(mesh_dp, batches))
+    assert float(loss_s) == pytest.approx(float(loss2), rel=1e-5)
+    flat0 = jax.tree_util.tree_leaves(params)
+    for a, c, p0 in zip(jax.tree_util.tree_leaves(p_s),
+                        jax.tree_util.tree_leaves(p2), flat0):
+        u1 = np.asarray(a, np.float32) - np.asarray(p0, np.float32)
+        u2 = np.asarray(c, np.float32) - np.asarray(p0, np.float32)
+        scale = max(np.abs(u2).max(), 1e-12)
+        # 1.5e-8 abs floor: f32 param-update quantization (~2^-27)
+        assert np.abs(u1 - u2).max() <= 1e-3 * scale + 1.5e-8, (
+            np.abs(u1 - u2).max(), scale)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
