@@ -157,34 +157,49 @@ def main():
     raw = jax.tree_util.tree_map(jax.device_put, raw)
     raw = raw._replace(feat_3d=raw.feat_3d.astype(jnp.bfloat16))
 
-    use_windows = jax.default_backend() == "tpu"
+    use_windows = (jax.default_backend() == "tpu"
+                   and os.environ.get("BENCH_NO_WINDOWS", "0") != "1")
 
-    @jax.jit
-    def build_geo(coords, num):
-        geo, ov = build_geometry_parts(coords, num, caps.fixed,
-                                       windows=use_windows,
-                                       stem_occupancy=True)
-        return geo, ov
+    def compile_and_first_step(windows: bool):
+        @jax.jit
+        def build_geo(coords, num):
+            geo, ov = build_geometry_parts(coords, num, caps.fixed,
+                                           windows=windows,
+                                           stem_occupancy=True)
+            return geo, ov
 
-    t0 = time.time()
-    geo, overflow = build_geo(raw.coords, raw.num)
-    assert not bool(overflow), "bench batch overflowed its geometry caps"
-    geo_s = time.time() - t0  # compile + first build (split reported below)
+        t0 = time.time()
+        geo, overflow = build_geo(raw.coords, raw.num)
+        assert not bool(overflow), "bench batch overflowed its geometry caps"
+        geo_s = time.time() - t0  # compile + first build
 
-    batch = DistillBatch(geo=geo, feats=raw.feats, feat_3d=raw.feat_3d,
-                         mask=raw.mask, labels=raw.labels, num_voxels=n_vox)
+        batch = DistillBatch(geo=geo, feats=raw.feats, feat_3d=raw.feat_3d,
+                             mask=raw.mask, labels=raw.labels,
+                             num_voxels=n_vox)
+        params, state = init_unet(jax.random.PRNGKey(0), 3, 768,
+                                  arch="MinkUNet18A")
+        opt, _ = make_optimizer(cfg, max_iter=10000)
+        opt_state = opt.init(params)
+        step = make_train_step(cfg, opt)
+        t0 = time.time()
+        params, state, opt_state, loss = step(params, state, opt_state,
+                                              batch)
+        _ = float(loss)
+        compile_s = time.time() - t0
+        return (build_geo, geo_s, batch, params, state, opt_state, step,
+                loss, compile_s)
 
-    params, state = init_unet(jax.random.PRNGKey(0), 3, 768,
-                              arch="MinkUNet18A")
-    opt, _ = make_optimizer(cfg, max_iter=10000)
-    opt_state = opt.init(params)
-    step = make_train_step(cfg, opt)
-
-    # warmup/compile
-    t0 = time.time()
-    params, state, opt_state, loss = step(params, state, opt_state, batch)
-    _ = float(loss)
-    compile_s = time.time() - t0
+    try:
+        (build_geo, geo_s, batch, params, state, opt_state, step, loss,
+         compile_s) = compile_and_first_step(use_windows)
+    except Exception as e:  # windowed-kernel compile failure: the XLA path
+        if not use_windows:
+            raise
+        print(f"# windowed path failed ({type(e).__name__}: {e}); "
+              "falling back to the XLA gather path", file=sys.stderr)
+        use_windows = False
+        (build_geo, geo_s, batch, params, state, opt_state, step, loss,
+         compile_s) = compile_and_first_step(False)
 
     # RTT of a sync
     probe = jax.jit(lambda a: a * 1.0)

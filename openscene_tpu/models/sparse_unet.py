@@ -31,6 +31,7 @@ import numpy as np
 from ..sparse.ops import (masked_batch_norm, relu, sparse_conv,
                           sparse_down_conv, sparse_up_conv, valid_mask)
 from ..sparse.pallas_conv import windowed_sparse_conv
+from ..sparse.pallas_edge import windowed_down_conv, windowed_up_conv
 from ..sparse.types import UNetGeometry
 
 
@@ -38,19 +39,41 @@ def _stencil_conv(x, w, plan, wplan):
     """k=3 stencil conv: windowed Pallas kernel when a window plan exists
     for the level, else the XLA gather path (identical semantics).
 
-    Wide channels (the 256x256 level-4 convs) run the windowed path too:
-    the backward splits into one call per dx window class to fit the 16MB
-    scoped-VMEM budget (pallas_conv._wconv_bwd); measured 7x faster than
-    the XLA gather forward at bench shapes."""
-    if wplan is not None:
+    Channel widths beyond the scoped-VMEM budget (the 256x256 level-4
+    convs' backward, 384-wide D-variants) split into one kernel call per
+    dx window class (pallas_conv); odd widths (no pair-packing) fall back
+    to XLA."""
+    if wplan is not None and w.shape[1] % 2 == 0 and w.shape[2] % 2 == 0:
         return windowed_sparse_conv(x, w, plan.flip_perm, wplan.win_start,
-                                    wplan.g0pack, wplan.lidx,
-                                    wplan.spill_ent, wplan.spill_fwd)
+                                    wplan.lidx, wplan.spill_ent,
+                                    wplan.spill_fwd)
     return sparse_conv(x, w, plan.fwd, plan.flip_perm)
 
 
 def _wplan(geo: UNetGeometry, level: int):
     return geo.wplans[level] if len(geo.wplans) > level else None
+
+
+def _ewplan(geo: UNetGeometry, edge: int):
+    return geo.ewplans[edge] if len(geo.ewplans) > edge else None
+
+
+def _even(w) -> bool:
+    return w.shape[1] % 2 == 0 and w.shape[2] % 2 == 0
+
+
+def _edge_down_conv(x, w, plan, ewp):
+    """k=2 s=2 down conv: windowed edge kernel when a plan exists (and
+    channels are even — pair-packing), else the XLA gather path."""
+    if ewp is not None and _even(w):
+        return windowed_down_conv(x, w, *ewp)
+    return sparse_down_conv(x, w, plan)
+
+
+def _edge_up_conv(x, w, plan, ewp):
+    if ewp is not None and _even(w):
+        return windowed_up_conv(x, w, *ewp)
+    return sparse_up_conv(x, w, plan)
 
 
 @dataclass(frozen=True)
@@ -279,7 +302,8 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
     enc = [out_p1]
     out = out_p1
     for i in range(1, 5):
-        out = sparse_down_conv(out, params[f"conv{i}"], geo.down[i - 1])
+        out = _edge_down_conv(out, params[f"conv{i}"], geo.down[i - 1],
+                              _ewplan(geo, i - 1))
         out = _bn(out, params[f"bn{i}"], state[f"bn{i}"], masks[i], nums[i],
                   train, ns, (f"bn{i}",))
         out = relu(out)
@@ -291,7 +315,8 @@ def apply_unet(params, state, x, geo: UNetGeometry, *, arch: str,
     # decoder: convtr{i} from level (8-i) down to level (7-i), skip-concat
     for j, i in enumerate(range(4, 8)):
         lvl = 3 - j  # target level index
-        out = sparse_up_conv(out, params[f"convtr{i}"], geo.down[lvl])
+        out = _edge_up_conv(out, params[f"convtr{i}"], geo.down[lvl],
+                            _ewplan(geo, lvl))
         out = _bn(out, params[f"bntr{i}"], state[f"bntr{i}"], masks[lvl],
                   nums[lvl], train, ns, (f"bntr{i}",))
         out = relu(out)

@@ -283,10 +283,17 @@ def build_unet_geometry(coords: np.ndarray, caps: Optional[GeometryCaps] = None,
         import jax
         build_windows = jax.default_backend() == "tpu"
     wplans: Tuple = (None,) * num_levels
+    ewplans: Tuple = (None,) * (num_levels - 1)
     if build_windows:
         from .pallas_conv import build_window_plan
+        from .pallas_edge import build_edge_window_plan
         wplans = tuple(
             build_window_plan(self3[l].fwd, int(levels[l].num), levels[l].cap)
             for l in range(num_levels))
+        ewplans = tuple(
+            build_edge_window_plan(downs[e].fwd, downs[e].child_parent,
+                                   downs[e].child_offset,
+                                   int(levels[e].num), int(levels[e + 1].num))
+            for e in range(num_levels - 1))
     return UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
-                        down=tuple(downs), wplans=wplans)
+                        down=tuple(downs), wplans=wplans, ewplans=ewplans)

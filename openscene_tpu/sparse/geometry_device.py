@@ -360,7 +360,7 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))
         mn = jnp.where(mn == imax, 0, mn)
-        start = jnp.minimum((mn // 64) * 64, cap - WIN)
+        start = jnp.minimum((mn // 128) * 128, cap - WIN)
         win_start.append(start)
         mx = jnp.where(valid[ks], f[ks], -1).max(axis=(0, 2))
         bad = (mx - start) >= WIN
@@ -386,10 +386,93 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
 
     plan = WindowPlan(win_start=win_start,
                       lidx=lidx,
-                      g0pack=jnp.zeros((ntiles, NCLASS), jnp.int32),
                       k_class=k_class,
                       spill_ent=spill_ent, spill_fwd=spill_fwd)
     return plan, n_spill > spill_cap
+
+
+def build_edge_window_plan_device(fwd, child_parent, child_offset,
+                                  child_num, d_spill_cap: Optional[int] = None,
+                                  u_spill_cap: Optional[int] = None):
+    """Device analogue of pallas_edge.build_edge_window_plan.
+
+    Returns (EdgeWindowPlan, overflow) with traced overflow (spill buckets
+    are static caps; exceeding one means the plan silently drops work, so
+    the caller must fall back).  Default buckets: measured spill rates on
+    the bench batch are 0.45-1.8% of (parent tile, offset) entries at
+    DWIN=1024 and 0.9-2% of child tiles at UWIN=512; ~4%/~5% caps give
+    >2x headroom."""
+    from .pallas_conv import TILE
+    from .pallas_edge import DWIN, INVALID_D, INVALID_U, KD, UWIN, \
+        EdgeWindowPlan
+
+    parent_cap = fwd.shape[1]
+    child_cap = child_parent.shape[0]
+    assert child_cap >= DWIN and parent_cap >= UWIN, (child_cap, parent_cap)
+    ptiles = parent_cap // TILE
+    ctiles = child_cap // TILE
+    if d_spill_cap is None:
+        d_spill_cap = max(64, -(-ptiles * KD // 25 // 64) * 64)
+    if u_spill_cap is None:
+        u_spill_cap = max(16, -(-ctiles // 20 // 64) * 64)
+    imax = jnp.int32(np.iinfo(np.int32).max)
+
+    # ---- down side ----
+    f = fwd.reshape(KD, ptiles, TILE)
+    fvalid = f < child_num
+    big = jnp.where(fvalid, f, imax)
+    mn = big.min(axis=2)
+    mn = jnp.where(mn == imax, 0, mn)
+    start = jnp.minimum((mn // 128) * 128, child_cap - DWIN)
+    mx = jnp.where(fvalid, f, -1).max(axis=2)
+    dbad = (mx - start) >= DWIN                            # (KD, ptiles)
+    loc = f - start[:, :, None]
+    loc = jnp.where(fvalid & ~dbad[:, :, None], loc, INVALID_D)
+    dwin_start = start.T.astype(jnp.int32)
+    dlidx = jnp.transpose(loc, (1, 0, 2)).astype(jnp.int32)
+    bad_flat = dbad.T.reshape(-1)                          # ptile*KD + k
+    n_d = bad_flat.astype(jnp.int32).sum()
+    rank = jnp.cumsum(bad_flat.astype(jnp.int32)) - 1
+    dspill_ent = jnp.full((d_spill_cap,), -1, dtype=jnp.int32)
+    tgt = jnp.where(bad_flat & (rank < d_spill_cap), rank, d_spill_cap)
+    dspill_ent = dspill_ent.at[tgt].set(
+        jnp.arange(ptiles * KD, dtype=jnp.int32), mode="drop")
+    f_by_ent = jnp.transpose(f, (1, 0, 2)).reshape(ptiles * KD, TILE)
+    dspill_fwd = jnp.take(f_by_ent, jnp.maximum(dspill_ent, 0), axis=0)
+    dspill_fwd = jnp.where((dspill_ent >= 0)[:, None], dspill_fwd, 0)
+
+    # ---- up side ----
+    cp = child_parent.reshape(ctiles, TILE)
+    rvalid = (jnp.arange(child_cap) < child_num).reshape(ctiles, TILE)
+    bigp = jnp.where(rvalid, cp, imax)
+    mnp = bigp.min(axis=1)
+    mnp = jnp.where(mnp == imax, 0, mnp)
+    startp = jnp.minimum((mnp // 128) * 128, parent_cap - UWIN)
+    mxp = jnp.where(rvalid, cp, -1).max(axis=1)
+    ubad = (mxp - startp) >= UWIN
+    ulidx = cp - startp[:, None]
+    ulidx = jnp.where(rvalid & ~ubad[:, None], ulidx, INVALID_U)
+    n_u = ubad.astype(jnp.int32).sum()
+    ranku = jnp.cumsum(ubad.astype(jnp.int32)) - 1
+    uspill_tile = jnp.full((u_spill_cap,), -1, dtype=jnp.int32)
+    tgtu = jnp.where(ubad & (ranku < u_spill_cap), ranku, u_spill_cap)
+    uspill_tile = uspill_tile.at[tgtu].set(
+        jnp.arange(ctiles, dtype=jnp.int32), mode="drop")
+    # invalid child rows -> parent NULL row (zero features/cotangents)
+    cp_null = jnp.where(rvalid, cp, parent_cap - 1)
+    uspill_parent = jnp.take(cp_null, jnp.maximum(uspill_tile, 0), axis=0)
+    uspill_parent = jnp.where((uspill_tile >= 0)[:, None], uspill_parent,
+                              parent_cap - 1)
+    off_t = child_offset.reshape(ctiles, TILE)
+    uspill_off = jnp.take(off_t, jnp.maximum(uspill_tile, 0), axis=0)
+
+    plan = EdgeWindowPlan(
+        dwin_start=dwin_start, dlidx=dlidx,
+        dspill_ent=dspill_ent, dspill_fwd=dspill_fwd,
+        uwin_start=startp.astype(jnp.int32), ulidx=ulidx.astype(jnp.int32),
+        uoff=off_t.astype(jnp.int32), uspill_tile=uspill_tile,
+        uspill_parent=uspill_parent, uspill_off=uspill_off)
+    return plan, (n_d > d_spill_cap) | (n_u > u_spill_cap)
 
 
 def build_stem_occupancy_device(coords, num, kernel_size: int = 5):
@@ -493,16 +576,26 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
     self3 = tuple(build_self_plan_device(lv.coords, lv.num, 3)
                   for lv in levels)
     wplans = [None] * num_levels
+    ewplans = [None] * (num_levels - 1)
     if windows:
+        from .pallas_edge import DWIN, UWIN
         for l in range(num_levels):
             cap = caps[l]
             if cap >= WIN and cap % (MTILE * TILE) == 0:
                 wplans[l], ov = build_window_plan_device(
                     self3[l].fwd, levels[l].num, cap)
                 overflow = overflow | ov
+        for e in range(num_levels - 1):
+            if (caps[e] >= DWIN and caps[e + 1] >= UWIN
+                    and caps[e] % (4 * TILE) == 0
+                    and caps[e + 1] % (4 * TILE) == 0):
+                ewplans[e], ov = build_edge_window_plan_device(
+                    downs[e].fwd, downs[e].child_parent,
+                    downs[e].child_offset, levels[e].num)
+                overflow = overflow | ov
     geo = UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
                        down=tuple(downs), wplans=tuple(wplans),
-                       stem_occ=stem_occ)
+                       stem_occ=stem_occ, ewplans=tuple(ewplans))
     return geo, overflow
 
 

@@ -104,6 +104,8 @@ class UNetGeometry(NamedTuple):
     stem_occ: Optional[object] = None  # (K, cap0) occupancy (compute dtype);
     # set by the device builder for constant-input models so the k=5 stem
     # never materializes its (K, cap0) int32 index plan
+    ewplans: Tuple = ()  # per-down-edge windowed-kernel plans
+    # (pallas_edge.EdgeWindowPlan) or None when that edge falls back to XLA
 
 
 def stencil_offsets(kernel_size: int, dimension: int = 3) -> np.ndarray:

@@ -141,7 +141,7 @@ def main():
                 row = (f"L{lvl} conv {C:3d}x{Cout:3d} xla: f {t_f*1e3:7.2f}ms  "
                        f"f+b {t_fb*1e3:7.2f}ms")
             if wplan is not None:
-                wargs = (wplan.win_start, wplan.g0pack, wplan.lidx,
+                wargs = (wplan.win_start, wplan.lidx,
                          wplan.spill_ent, wplan.spill_fwd)
 
                 def win_f(x, w, *wa):

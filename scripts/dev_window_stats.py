@@ -35,7 +35,7 @@ def span_stats(fwd, num, cap, kernel_size=3):
         big = np.where(valid[ks], f[ks], np.iinfo(np.int32).max)
         mn = big.min(axis=(0, 2))
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
-        start = (mn // 64) * 64
+        start = (mn // 128) * 128
         mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
         spans.append(np.where(mx >= 0, mx - start + 1, 0))
     return np.stack(spans)  # (NCLASS, ntiles)
@@ -74,7 +74,7 @@ def main():
         mn = big.min(axis=(0, 2))
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
         mx = np.where(valid, f, -1).max(axis=(0, 2))
-        span = np.where(mx >= 0, mx - (mn // 64) * 64 + 1, 0)
+        span = np.where(mx >= 0, mx - (mn // 128) * 128 + 1, 0)
         q = np.percentile(span, [50, 90, 99])
         print(f"E{e} down: child-span p50/p90/p99 = {q.astype(int)}; "
               f">2048: {100*(span > 2048).mean():.2f}% "

@@ -134,3 +134,55 @@ def test_device_stem_occupancy_matches_plan():
     occ = build_stem_occupancy_device(ref.levels[0].coords, num, 5)
     want = (np.asarray(ref.stem.fwd) < num).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(occ, np.float32), want)
+
+
+def test_device_edge_window_plan_matches_host():
+    """build_edge_window_plan_device vs the host builder on the same
+    DownPlan: identical windows/lidx/offsets; the spill SETS match."""
+    from openscene_tpu.sparse.pallas_edge import build_edge_window_plan
+    from openscene_tpu.sparse.geometry_device import (
+        build_edge_window_plan_device)
+
+    coords = _scene_coords(5, n=14000, extent=100)
+    counts = level_counts(coords)
+    caps = tuple(max(1024, -(-int(c * 1.15) // 512) * 512) for c in counts)
+    gcaps = GeometryCaps(cap0=caps[0], fixed=caps)
+    ref = build_unet_geometry(coords, caps=gcaps, build_windows=False)
+    for e in range(2):
+        plan = ref.down[e]
+        cnum = int(ref.levels[e].num)
+        pnum = int(ref.levels[e + 1].num)
+        host = build_edge_window_plan(
+            np.asarray(plan.fwd), np.asarray(plan.child_parent),
+            np.asarray(plan.child_offset), cnum, pnum)
+        assert host is not None, e
+        dev, overflow = build_edge_window_plan_device(
+            plan.fwd, plan.child_parent, plan.child_offset, cnum)
+        assert not bool(overflow)
+        np.testing.assert_array_equal(np.asarray(dev.dwin_start),
+                                      host.dwin_start)
+        np.testing.assert_array_equal(np.asarray(dev.dlidx), host.dlidx)
+        np.testing.assert_array_equal(np.asarray(dev.uwin_start),
+                                      host.uwin_start)
+        np.testing.assert_array_equal(np.asarray(dev.ulidx), host.ulidx)
+        np.testing.assert_array_equal(np.asarray(dev.uoff), host.uoff)
+        h_ents = set(host.dspill_ent[host.dspill_ent >= 0].tolist())
+        d_se = np.asarray(dev.dspill_ent)
+        assert set(d_se[d_se >= 0].tolist()) == h_ents
+        h_tiles = set(host.uspill_tile[host.uspill_tile >= 0].tolist())
+        d_ut = np.asarray(dev.uspill_tile)
+        assert set(d_ut[d_ut >= 0].tolist()) == h_tiles
+        for hpos, ent in enumerate(host.dspill_ent):
+            if ent < 0:
+                continue
+            dpos = int(np.flatnonzero(d_se == ent)[0])
+            np.testing.assert_array_equal(np.asarray(dev.dspill_fwd)[dpos],
+                                          host.dspill_fwd[hpos])
+        for hpos, t in enumerate(host.uspill_tile):
+            if t < 0:
+                continue
+            dpos = int(np.flatnonzero(d_ut == t)[0])
+            np.testing.assert_array_equal(
+                np.asarray(dev.uspill_parent)[dpos], host.uspill_parent[hpos])
+            np.testing.assert_array_equal(
+                np.asarray(dev.uspill_off)[dpos], host.uspill_off[hpos])

@@ -51,9 +51,8 @@ def test_windowed_conv_bitexact_fwd_and_grads(real_plan, C, Cout):
                      ).astype(np.float32))
     fp = jnp.asarray(plan.flip_perm)
     fwd = jnp.asarray(plan.fwd)
-    args = (jnp.asarray(wp.win_start), jnp.asarray(wp.g0pack),
-            jnp.asarray(wp.lidx), jnp.asarray(wp.spill_ent),
-            jnp.asarray(wp.spill_fwd))
+    args = (jnp.asarray(wp.win_start), jnp.asarray(wp.lidx),
+            jnp.asarray(wp.spill_ent), jnp.asarray(wp.spill_fwd))
 
     out = np.asarray(windowed_sparse_conv(xb, w, fp, *args), np.float32)
     ref = np.asarray(sparse_conv(xb, w, fwd, fp), np.float32)
