@@ -188,8 +188,31 @@ def main():
 
         t_f = timeit(jax.jit(down_f), (x, w, plan), args.iters)
         t_fb = timeit(jax.jit(down_fb), (x, w, plan, g), args.iters)
-        print(f"E{e} down {Cc:3d}x{Cc:3d}: f {t_f*1e3:7.2f}ms  "
-              f"f+b {t_fb*1e3:7.2f}ms", flush=True)
+        row = (f"E{e} down {Cc:3d}x{Cc:3d}: f {t_f*1e3:7.2f}ms  "
+               f"f+b {t_fb*1e3:7.2f}ms")
+        ewp = geo.ewplans[e] if len(geo.ewplans) > e else None
+        if ewp is not None:
+            from openscene_tpu.sparse.pallas_edge import windowed_down_conv
+
+            def wdown_f(x, w, *pa):
+                return windowed_down_conv(x, w, *pa)
+
+            def wdown_fb(x, w, g, *pa):
+                def loss(x, w):
+                    return (windowed_down_conv(x, w, *pa)
+                            .astype(jnp.float32)
+                            * g.astype(jnp.float32)).sum()
+                return jax.grad(loss, argnums=(0, 1))(x, w)
+            try:
+                t_wf = timeit(jax.jit(wdown_f), (x, w) + tuple(ewp),
+                              args.iters)
+                t_wfb = timeit(jax.jit(wdown_fb), (x, w, g) + tuple(ewp),
+                               args.iters)
+                row += (f" | win: f {t_wf*1e3:7.2f}ms  "
+                        f"f+b {t_wfb*1e3:7.2f}ms")
+            except Exception as ex:
+                row += f" | win FAIL {type(ex).__name__}: {str(ex)[:70]}"
+        print(row, flush=True)
 
         Cu_in, Cu_out = up_ch[e]
         xu = rand((caps_t[e + 1], Cu_in))
@@ -207,8 +230,30 @@ def main():
 
         t_f = timeit(jax.jit(up_f), (xu, wu, plan), args.iters)
         t_fb = timeit(jax.jit(up_fb), (xu, wu, plan, gu), args.iters)
-        print(f"E{e} up   {Cu_in:3d}x{Cu_out:3d}: f {t_f*1e3:7.2f}ms  "
-              f"f+b {t_fb*1e3:7.2f}ms", flush=True)
+        row = (f"E{e} up   {Cu_in:3d}x{Cu_out:3d}: f {t_f*1e3:7.2f}ms  "
+               f"f+b {t_fb*1e3:7.2f}ms")
+        if ewp is not None:
+            from openscene_tpu.sparse.pallas_edge import windowed_up_conv
+
+            def wup_f(xu, wu, *pa):
+                return windowed_up_conv(xu, wu, *pa)
+
+            def wup_fb(xu, wu, gu, *pa):
+                def loss(xu, wu):
+                    return (windowed_up_conv(xu, wu, *pa)
+                            .astype(jnp.float32)
+                            * gu.astype(jnp.float32)).sum()
+                return jax.grad(loss, argnums=(0, 1))(xu, wu)
+            try:
+                t_wf = timeit(jax.jit(wup_f), (xu, wu) + tuple(ewp),
+                              args.iters)
+                t_wfb = timeit(jax.jit(wup_fb), (xu, wu, gu) + tuple(ewp),
+                               args.iters)
+                row += (f" | win: f {t_wf*1e3:7.2f}ms  "
+                        f"f+b {t_wfb*1e3:7.2f}ms")
+            except Exception as ex:
+                row += f" | win FAIL {type(ex).__name__}: {str(ex)[:70]}"
+        print(row, flush=True)
 
     # stem occupancy GEMM from device-built occupancy
     w = rand((125, 3, 32), jnp.float32)
