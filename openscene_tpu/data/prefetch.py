@@ -59,6 +59,13 @@ class Prefetcher:
                 self.cond.notify_all()
 
     def __iter__(self) -> Iterator:
+        # a second iteration would WAIT FOREVER for items the first one
+        # already popped — fail loudly instead (list() the prefetcher if a
+        # consumer needs multiple passes)
+        if getattr(self, "_consumed", False):
+            raise RuntimeError("Prefetcher is single-use; wrap in list() "
+                               "for multiple passes")
+        self._consumed = True
         for i in range(len(self.indices)):
             with self.cond:
                 while i not in self.results and self.error is None:

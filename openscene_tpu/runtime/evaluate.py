@@ -287,6 +287,12 @@ class ZeroShotEvaluator:
                 feat_3d=np.zeros((1, self.dim), np.float32),
                 feat_mask=np.ones(1, bool))
 
+        # ``samples`` may be a single-use Prefetcher/generator and this
+        # branch iterates TWICE (calibration + device groups): materialize.
+        # (The second iteration of an exhausted source deadlocked/yielded
+        # nothing; scenes are in the loader's RAM cache anyway.)
+        samples = list(samples)
+
         # one calibration pass over the WHOLE split -> one compiled shape
         # family for every device-group (per-group re-bucketing recompiled
         # the step each time a group grew the max cap: ~4-14min per compile
