@@ -71,6 +71,7 @@ class Point3DLoader:
         self.input_color = input_color
         self.memcache = memcache
         self._cache: Dict[int, Tuple] = {}
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
 
         self.voxelizer = Voxelizer(
@@ -93,11 +94,20 @@ class Point3DLoader:
 
     def reseed(self, seed: int) -> None:
         """Reseed every RNG (the eval repeats protocol)."""
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.voxelizer.rng = self.rng
         if self.aug:
             self.prevoxel_transforms.reseed(self.rng)
             self.input_transforms.reseed(self.rng)
+
+    def _rng_for(self, index_long: int) -> np.random.Generator:
+        """Per-scene generator derived from (seed, index): voxelization
+        randomness becomes independent of CALL ORDER and prefetch-thread
+        interleaving, so eval runs reproduce exactly under test_workers>1.
+        (The train-time aug transforms still share self.rng — training
+        randomness has no reproducibility contract across worker counts.)"""
+        return np.random.default_rng((self._seed, int(index_long)))
 
     def __len__(self) -> int:
         return len(self.data_paths) * self.loop
@@ -117,7 +127,7 @@ class Point3DLoader:
         locs_in, feats_in, labels_in = self._load_raw(index)
         locs = self.prevoxel_transforms(locs_in) if self.aug else locs_in
         locs, feats, labels, inds_rec = self.voxelizer.voxelize(
-            locs, feats_in, labels_in)
+            locs, feats_in, labels_in, rng=self._rng_for(index_long))
         if self.eval_all:
             labels = labels_in
         if self.aug:
@@ -185,7 +195,8 @@ class FusedFeatureLoader(Point3DLoader):
         if not self.data_paths:
             raise FileNotFoundError("0 scenes with fused features")
 
-    def _load_feat_blob(self, index: int):
+    def _load_feat_blob(self, index: int, rng=None):
+        rng = rng if rng is not None else self.rng
         name = scene_name(self.data_paths[index], self.dataset_name)
         if self.list_occur is None:
             candidates = (glob(join(self.datapath_feat, name + ".npz")) +
@@ -193,7 +204,7 @@ class FusedFeatureLoader(Point3DLoader):
             path = candidates[0]
         else:
             n_occur = self.list_occur[index]
-            k = int(self.rng.integers(n_occur)) if n_occur > 1 else 0
+            k = int(rng.integers(n_occur)) if n_occur > 1 else 0
             candidates = (glob(join(self.datapath_feat, f"{name}_{k}.npz")) +
                           glob(join(self.datapath_feat, f"{name}_{k}.pt")))
             path = candidates[0]
@@ -213,13 +224,14 @@ class FusedFeatureLoader(Point3DLoader):
 
     def get(self, index_long: int) -> SceneSample:
         index = index_long % len(self.data_paths)
+        rng = self._rng_for(index_long)
         locs_in, feats_in, labels_in = self._load_raw(index)
-        feat_3d, mask_full = self._load_feat_blob(index)
+        feat_3d, mask_full = self._load_feat_blob(index, rng)
 
         locs = self.prevoxel_transforms(locs_in) if self.aug else locs_in
         if self.split == "train":
             locs, feats, labels, inds_rec, vox_ind = self.voxelizer.voxelize(
-                locs_in, feats_in, labels_in, return_ind=True)
+                locs_in, feats_in, labels_in, return_ind=True, rng=rng)
             feat_mask, feat_rows = align_fused_features(mask_full, vox_ind)
             feat_3d = feat_3d[feat_rows]
         else:
@@ -228,7 +240,7 @@ class FusedFeatureLoader(Point3DLoader):
             full = np.zeros((len(locs_in), feat_3d.shape[1]), dtype=feat_3d.dtype)
             full[mask_full] = feat_3d
             locs, feats, labels, inds_rec, vox_ind = self.voxelizer.voxelize(
-                locs, feats_in, labels_in, return_ind=True)
+                locs, feats_in, labels_in, return_ind=True, rng=rng)
             feat_3d = full[vox_ind]
             feat_mask = mask_full[vox_ind]
         if self.eval_all:

@@ -56,7 +56,9 @@ class Voxelizer:
     def reseed(self, seed: int) -> None:
         self.rng = np.random.default_rng(seed)
 
-    def get_transformation_matrix(self) -> Tuple[np.ndarray, np.ndarray]:
+    def get_transformation_matrix(self, rng=None
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         voxelization_matrix, rotation_matrix = np.eye(4), np.eye(4)
         rot_mat = np.eye(3)
         if self.use_augmentation and self.rotation_augmentation_bound is not None:
@@ -66,14 +68,14 @@ class Voxelizer:
                 axis = np.zeros(3)
                 axis[axis_ind] = 1.0
                 if rot_bound is not None:
-                    theta = float(self.rng.uniform(*rot_bound))
+                    theta = float(rng.uniform(*rot_bound))
                 rot_mats.append(_axis_angle_matrix(axis, theta))
-            self.rng.shuffle(rot_mats)
+            rng.shuffle(rot_mats)
             rot_mat = rot_mats[0] @ rot_mats[1] @ rot_mats[2]
         rotation_matrix[:3, :3] = rot_mat
         scale = 1.0 / self.voxel_size
         if self.use_augmentation and self.scale_augmentation_bound is not None:
-            scale *= float(self.rng.uniform(*self.scale_augmentation_bound))
+            scale *= float(rng.uniform(*self.scale_augmentation_bound))
         np.fill_diagonal(voxelization_matrix[:3, :3], scale)
         return voxelization_matrix, rotation_matrix
 
@@ -93,20 +95,25 @@ class Voxelizer:
         return keep
 
     def voxelize(self, coords, feats, labels, center=None, link=None,
-                 return_ind: bool = False):
+                 return_ind: bool = False, rng=None):
+        """``rng`` overrides the shared generator for this call: callers
+        that voxelize from worker threads (data/prefetch.py) pass a
+        per-scene derived generator so results do not depend on thread
+        interleaving (the loaders derive default_rng((seed, index)))."""
+        rng = rng if rng is not None else self.rng
         assert coords.shape[1] == 3 and coords.shape[0] == feats.shape[0] and coords.shape[0]
         if self.clip_bound is not None:
             trans_aug_ratio = np.zeros(3)
             if self.use_augmentation and self.translation_augmentation_ratio_bound is not None:
                 for axis_ind, bound in enumerate(self.translation_augmentation_ratio_bound):
-                    trans_aug_ratio[axis_ind] = float(self.rng.uniform(*bound))
+                    trans_aug_ratio[axis_ind] = float(rng.uniform(*bound))
             clip_inds = self.clip(coords, center, trans_aug_ratio)
             if clip_inds.sum():
                 coords, feats = coords[clip_inds], feats[clip_inds]
                 if labels is not None:
                     labels = labels[clip_inds]
 
-        M_v, M_r = self.get_transformation_matrix()
+        M_v, M_r = self.get_transformation_matrix(rng=rng)
         rigid = M_v
         if self.use_augmentation:
             rigid = M_r @ rigid
