@@ -95,12 +95,18 @@ def _concat_sort(samples: Sequence[SceneSample], shift: Optional[np.ndarray]):
 def assemble_distill_batch(samples: Sequence[SceneSample], dim: int,
                            caps: Optional[GeometryCaps] = None,
                            rng: Optional[np.random.Generator] = None,
-                           shift: bool = True) -> DistillBatch:
+                           shift: bool = True,
+                           windows: Optional[bool] = None) -> DistillBatch:
+    """``windows=False`` skips Pallas window plans — REQUIRED when batches
+    from different scene sets are stacked along a device axis (sharded
+    host-geometry paths): spill-bucket sizes are measured per batch, so
+    stacked plans would be ragged."""
     rng = rng if rng is not None else np.random.default_rng()
     sh = np.floor(rng.random(3) * 100).astype(np.int64) if shift else None
     coords, perm, inv, offs = _concat_sort(samples, sh)
     n = len(coords)
-    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n),
+                              build_windows=windows)
     cap0 = geo.levels[0].cap
 
     feats = np.zeros((cap0, 3), dtype=np.float32)
@@ -169,9 +175,12 @@ def assemble_raw_distill_batch(samples: Sequence[SceneSample], dim: int,
 def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,
                         caps: Optional[GeometryCaps] = None,
                         point_cap: Optional[int] = None,
-                        need_model: bool = True) -> EvalBatch:
+                        need_model: bool = True,
+                        windows: Optional[bool] = None) -> EvalBatch:
     """``need_model=False`` (fusion-mode eval) skips kernel-map construction
-    entirely — only the level-0 padding/reconstruction is needed."""
+    entirely — only the level-0 padding/reconstruction is needed.
+    ``windows=False`` skips Pallas window plans (required when batches are
+    stacked along a device axis — measured spill buckets are ragged)."""
     from ..sparse.geometry import _pad_level
     from ..sparse.types import UNetGeometry
 
@@ -179,7 +188,8 @@ def assemble_eval_batch(samples: Sequence[SceneSample], dim: int,
     n = len(coords)
     if need_model:
         geo = build_unet_geometry(coords,
-                                  caps=caps or GeometryCaps.for_count(n))
+                                  caps=caps or GeometryCaps.for_count(n),
+                                  build_windows=windows)
     else:
         caps = caps or GeometryCaps.for_count(n)
         level0 = _pad_level(coords, caps.cap_for(0, n))
@@ -213,12 +223,14 @@ def assemble_seg_batch(samples: Sequence[SceneSample],
                        caps: Optional[GeometryCaps] = None,
                        rng: Optional[np.random.Generator] = None,
                        shift: bool = False, eval_all: bool = False,
-                       point_cap: Optional[int] = None) -> SegBatch:
+                       point_cap: Optional[int] = None,
+                       windows: Optional[bool] = None) -> SegBatch:
     rng = rng if rng is not None else np.random.default_rng()
     sh = np.floor(rng.random(3) * 100).astype(np.int64) if shift else None
     coords, perm, inv, offs = _concat_sort(samples, sh)
     n = len(coords)
-    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n))
+    geo = build_unet_geometry(coords, caps=caps or GeometryCaps.for_count(n),
+                              build_windows=windows)
     cap0 = geo.levels[0].cap
     feats = np.zeros((cap0, 3), dtype=np.float32)
     feats[:n] = np.concatenate([s.feats for s in samples])[perm]

@@ -92,10 +92,14 @@ def assemble_sharded_distill_batches(
     rng = rng if rng is not None else np.random.default_rng()
     if caps is None:
         trial = [assemble_distill_batch(s, dim, rng=np.random.default_rng(0),
-                                        shift=False)
+                                        shift=False, windows=False)
                  for s in per_device_samples]
         caps = fixed_caps_from_counts(tuple(
             max(int(t.geo.levels[l].num) for t in trial) for l in range(5)))
-    batches = [assemble_distill_batch(s, dim, caps=caps, rng=rng)
+    # windows=False: per-batch measured spill buckets would be RAGGED
+    # across the device axis (the device-geometry path — the mesh default —
+    # builds uniform static plans in-jit instead)
+    batches = [assemble_distill_batch(s, dim, caps=caps, rng=rng,
+                                      windows=False)
                for s in per_device_samples]
     return stack_batches(batches), caps

@@ -531,7 +531,10 @@ class DistillTrainer:
 
         batches = []
         for d, (n, coords) in enumerate(slices):
-            geo = build_unet_geometry(coords, caps=caps)
+            # windows=False: measured spill buckets would be ragged across
+            # the device axis (see data/sharded.py)
+            geo = build_unet_geometry(coords, caps=caps,
+                                      build_windows=False)
             batches.append(DistillBatch(
                 geo=geo, feats=fit(raw.feats[d]),
                 feat_3d=fit(raw.feat_3d[d]), mask=fit(raw.mask[d]),
@@ -732,8 +735,11 @@ class DistillTrainer:
             while len(group) < self.n_dp:
                 group.append(self._dummy_val_sample())
             batches = stack_batches([
+                # windows=False: measured spill buckets would be ragged
+                # across the device axis (see data/sharded.py)
                 assemble_seg_batch([s], caps=self._val_caps, eval_all=True,
-                                   point_cap=self._val_point_cap)
+                                   point_cap=self._val_point_cap,
+                                   windows=False)
                 for s in group])
             batches = shard_batch(self.mesh, batches)
             ls, nv, bi, bu, bt = self.val_step(self.params, self.state,

@@ -327,7 +327,7 @@ class ZeroShotEvaluator:
                 group.append((-1, dummy()))
             batches = stack_batches([
                 assemble_eval_batch([s], self.dim, caps=caps, point_cap=pcap,
-                                    need_model=need_model)
+                                    need_model=need_model, windows=False)
                 for _, s in group])
             n_pts = [len(s.labels) for _, s in group]
             sharded = shard_batch(self.mesh, batches)
