@@ -103,3 +103,24 @@ def assemble_sharded_distill_batches(
                                       windows=False)
                for s in per_device_samples]
     return stack_batches(batches), caps
+
+
+def assemble_sharded_seg_batches(
+        per_device_samples: Sequence[Sequence[SceneSample]],
+        rng: Optional[np.random.Generator] = None,
+        caps: Optional[GeometryCaps] = None):
+    """-> stacked SegBatch with leading device axis (supervised trainer's
+    DDP equivalent; windows=False — see assemble_sharded_distill_batches)."""
+    from .batch import assemble_seg_batch
+
+    rng = rng if rng is not None else np.random.default_rng()
+    if caps is None:
+        trial = [assemble_seg_batch(s, rng=np.random.default_rng(0),
+                                    shift=False, windows=False)
+                 for s in per_device_samples]
+        caps = fixed_caps_from_counts(tuple(
+            max(int(t.geo.levels[l].num) for t in trial) for l in range(5)))
+    batches = [assemble_seg_batch(s, caps=caps, rng=rng, shift=True,
+                                  windows=False)
+               for s in per_device_samples]
+    return stack_batches(batches), caps

@@ -63,13 +63,15 @@ def make_seg_optimizer(cfg: Config, max_iter: int):
     return opt, schedule
 
 
-def make_seg_train_step(cfg: Config, opt):
+def make_seg_train_step(cfg: Config, opt, mesh=None):
+    """Jitted supervised train step; under ``mesh`` the same step runs per
+    data shard with gradient/BN pmean and psum'd IoU histograms — the
+    reference's DDP training (run/train_mink.py world_size scaffolding)."""
     arch = cfg.arch_3d
     const_in = not cfg.input_color
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    @jax.jit
-    def step(params, state, opt_state, batch: SegBatch):
+    def step_core(params, state, opt_state, batch: SegBatch):
         def loss_fn(p):
             x = batch.feats.astype(cdtype)
             out, ns = apply_unet(p, state, x, batch.geo, arch=arch,
@@ -78,14 +80,37 @@ def make_seg_train_step(cfg: Config, opt):
                                         cfg.ignore_label), (out, ns)
         (loss, (out, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            new_state = jax.lax.pmean(new_state, "data")
+            loss = jax.lax.pmean(loss, "data")
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         pred = jnp.argmax(out, axis=-1)
         inter, union, tgt = metrics.intersection_and_union(
             pred, batch.labels, cfg.classes, cfg.ignore_label)
+        if mesh is not None:
+            inter, union, tgt = jax.lax.psum((inter, union, tgt), "data")
         return params, new_state, opt_state, loss, inter, union, tgt
 
-    return step
+    if mesh is None:
+        return jax.jit(step_core, donate_argnums=(0, 1, 2))
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(params, state, opt_state, batches):
+        def inner(params, state, opt_state, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            return step_core(params, state, opt_state, batch)
+
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P(),) * 7,
+            check_vma=False,
+        )(params, state, opt_state, batches)
+
+    return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
 
 def make_seg_eval_step(cfg: Config):
@@ -113,13 +138,29 @@ class SegTrainer:
             datapath_prefix=cfg.data_root, voxel_size=cfg.voxel_size,
             split="train", aug=cfg.aug, memcache=cfg.use_shm, loop=cfg.loop,
             input_color=cfg.input_color, seed=cfg.manual_seed)
-        self.batches_per_epoch = max(len(self.train_data) // cfg.batch_size, 1)
+        self.mesh = None
+        self.n_dp = 1
+        if cfg.data_parallel > 1:
+            from ..parallel.mesh import get_mesh, replicate
+            self.n_dp = min(cfg.data_parallel, len(jax.devices()))
+            self.mesh = get_mesh(data=self.n_dp, model=1)
+            log.info("supervised training over %d-device data mesh",
+                     self.n_dp)
+        self.per_dev_batch = max(cfg.batch_size // self.n_dp, 1)
+        self._train_caps = None
+        self.batches_per_epoch = max(
+            len(self.train_data) // (self.per_dev_batch * self.n_dp), 1)
         max_iter = cfg.epochs * self.batches_per_epoch
         self.opt, self.schedule = make_seg_optimizer(cfg, max_iter)
         self.opt_state = self.opt.init(self.params)
-        self.step_fn = make_seg_train_step(cfg, self.opt)
+        self.step_fn = make_seg_train_step(cfg, self.opt, mesh=self.mesh)
         self.eval_step = make_seg_eval_step(cfg)
         self.rng = np.random.default_rng(cfg.manual_seed)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.params = replicate(self.mesh, self.params)
+            self.state = replicate(self.mesh, self.state)
+            self.opt_state = replicate(self.mesh, self.opt_state)
         self.start_epoch = cfg.start_epoch
         self.best_iou = 0.0
         self.global_step = 0
@@ -144,10 +185,31 @@ class SegTrainer:
         union_m = np.zeros(cfg.classes)
         tgt_m = np.zeros(cfg.classes)
         order = self.rng.permutation(len(self.train_data))
+        bs = self.per_dev_batch * self.n_dp
         for i in range(self.batches_per_epoch):
-            idxs = order[i * cfg.batch_size:(i + 1) * cfg.batch_size]
+            idxs = order[i * bs:(i + 1) * bs]
             samples = [self.train_data.get(j) for j in idxs]
-            batch = assemble_seg_batch(samples, rng=self.rng, shift=True)
+            if self.mesh is not None:
+                from ..data.sharded import (assemble_sharded_seg_batches,
+                                            merge_caps)
+                from ..parallel.mesh import shard_batch
+                per_dev = [samples[d * self.per_dev_batch:
+                                   (d + 1) * self.per_dev_batch]
+                           for d in range(self.n_dp)]
+                try:
+                    batches, caps = assemble_sharded_seg_batches(
+                        per_dev, rng=self.rng, caps=self._train_caps)
+                except OverflowError:
+                    batches, caps = assemble_sharded_seg_batches(
+                        per_dev, rng=self.rng, caps=None)
+                    if self._train_caps is not None:
+                        caps = merge_caps(self._train_caps, caps)
+                    batches, caps = assemble_sharded_seg_batches(
+                        per_dev, rng=self.rng, caps=caps)
+                self._train_caps = caps
+                batch = shard_batch(self.mesh, batches)
+            else:
+                batch = assemble_seg_batch(samples, rng=self.rng, shift=True)
             (self.params, self.state, self.opt_state, loss, bi, bu,
              bt) = self.step_fn(self.params, self.state, self.opt_state,
                                 batch)
