@@ -39,7 +39,16 @@ def evaluate_seg(cfg: Config, params=None, state=None) -> Dict[str, float]:
                      payload.get("epoch"))
         elif cfg.model_path:
             raise FileNotFoundError(cfg.model_path)
-    step = make_seg_eval_step(cfg)
+    mesh = None
+    n_dp = 1
+    if cfg.data_parallel > 1 and len(jax.devices()) > 1:
+        from ..parallel.mesh import get_mesh, replicate
+        n_dp = min(cfg.data_parallel, len(jax.devices()))
+        mesh = get_mesh(data=n_dp, model=1)
+        params = replicate(mesh, params)
+        state = replicate(mesh, state)
+        log.info("sharded supervised eval over %d devices", n_dp)
+    step = make_seg_eval_step(cfg, mesh=mesh)
     loader = Point3DLoader(
         datapath_prefix=cfg.data_root, voxel_size=cfg.voxel_size,
         split=cfg.split, aug=False, memcache=cfg.use_shm, eval_all=True,
@@ -49,15 +58,57 @@ def evaluate_seg(cfg: Config, params=None, state=None) -> Dict[str, float]:
     store: Optional[List[np.ndarray]] = None
     rng = np.random.default_rng(cfg.manual_seed)
     is_nuscenes = "nuscenes_3d" in dataset_name
-    for rep in range(cfg.test_repeats):
-        loader.reseed(int(rng.integers(10000)))
-        preds, gts = [], []
-        for i in range(len(loader.data_paths)):
+
+    def scene_logits_single(n_scenes):
+        for i in range(n_scenes):
             sample = loader.get(i)
             batch = assemble_seg_batch([sample], eval_all=True)
             logits = np.asarray(step(params, state, batch),
                                 dtype=np.float32)[:batch.num_points]
-            label = np.asarray(batch.point_labels[:batch.num_points])
+            yield logits, np.asarray(batch.point_labels[:batch.num_points])
+
+    def scene_logits_sharded(n_scenes):
+        # one calibration pass -> one compiled shape family (mirrors the
+        # zero-shot evaluator, runtime/evaluate.py:_scene_outputs)
+        from ..data.sharded import stack_batches
+        from ..parallel.mesh import shard_batch
+        from ..sparse.geometry import GeometryCaps, _bucket, level_counts
+
+        samples = [loader.get(i) for i in range(n_scenes)]
+        counts = [1] * 5
+        max_pts = 1
+        for s in samples:
+            c4 = np.concatenate(
+                [np.zeros((len(s.coords), 1), np.int64),
+                 s.coords.astype(np.int64)], axis=1)
+            for l, c in enumerate(level_counts(c4)):
+                counts[l] = max(counts[l], c)
+            max_pts = max(max_pts, len(s.labels))
+        caps = GeometryCaps(cap0=_bucket(counts[0]),
+                            fixed=tuple(_bucket(c) for c in counts))
+        pcap = _bucket(max_pts)
+        for g in range(0, n_scenes, n_dp):
+            group = samples[g:g + n_dp]
+            real = len(group)
+            while len(group) < n_dp:
+                group.append(group[0])  # pad group; outputs discarded
+            batches = stack_batches([
+                assemble_seg_batch([s], caps=caps, eval_all=True,
+                                   point_cap=pcap, windows=False)
+                for s in group])
+            n_pts = [len(s.labels) for s in group]
+            out = step(params, state, shard_batch(mesh, batches))
+            out = np.asarray(out, dtype=np.float32)
+            for d in range(real):
+                yield (out[d][:n_pts[d]],
+                       np.asarray(group[d].labels[:n_pts[d]]))
+
+    for rep in range(cfg.test_repeats):
+        loader.reseed(int(rng.integers(10000)))
+        preds, gts = [], []
+        scene_iter = (scene_logits_sharded if mesh is not None
+                      else scene_logits_single)(len(loader.data_paths))
+        for logits, label in scene_iter:
             if is_nuscenes:
                 keep = label != 255
                 label, logits = label[keep], logits[keep]

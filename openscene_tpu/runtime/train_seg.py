@@ -113,19 +113,38 @@ def make_seg_train_step(cfg: Config, opt, mesh=None):
     return jax.jit(sharded, donate_argnums=(0, 1, 2))
 
 
-def make_seg_eval_step(cfg: Config):
+def make_seg_eval_step(cfg: Config, mesh=None):
+    """Per-scene logits at original points; with ``mesh``, takes
+    device-stacked SegBatches (one scene per device, identical caps) and
+    returns stacked outputs — the reference's scaffolded multi-GPU eval
+    (run/eval_mink.py:190-191)."""
     arch = cfg.arch_3d
     const_in = not cfg.input_color
     cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    @jax.jit
     def step(params, state, batch: SegBatch):
         x = batch.feats.astype(cdtype)
         out, _ = apply_unet(params, state, x, batch.geo, arch=arch,
                             train=False, constant_input=const_in)
         return jnp.take(out, batch.inds_reconstruct, axis=0)
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import PartitionSpec as P
+
+    def sharded(params, state, batches):
+        def inner(params, state, batch):
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+            return step(params, state, batch)[None]
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params, state, batches)
+
+    return jax.jit(sharded)
 
 
 class SegTrainer:

@@ -79,3 +79,20 @@ def test_seg_sharded_training_matches_losses(synth, tmp_path):
                   replicate(mesh, opt.init(params)),
                   shard_batch(mesh, batches))
     assert float(out[3]) == pytest.approx(np.mean(losses), rel=1e-5)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 2, reason="needs >= 2 devices")
+def test_seg_sharded_eval_matches_single(synth, tmp_path):
+    """data_parallel eval (reference eval_mink multi-GPU scaffold): same
+    protocol results as the single-device path (same derived per-scene
+    voxelization; only cap padding differs)."""
+    d3, root = synth
+    base = dict(data_root=d3, voxel_size=0.05, arch_3d="MinkUNet14A",
+                classes=20, batch_size=2, loop=1, epochs=1, manual_seed=0,
+                evaluate=False, save_path=str(tmp_path), use_shm=True,
+                test_repeats=2, split="val")
+    single = evaluate_seg(Config(**base))
+    sharded = evaluate_seg(Config(**base, data_parallel=2))
+    assert sharded["miou"] == pytest.approx(single["miou"], abs=2e-2)
+    assert "repeat_1" in sharded
