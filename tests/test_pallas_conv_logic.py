@@ -58,8 +58,10 @@ def real_plan():
     return plan, wp, cap, num
 
 
-@pytest.mark.parametrize("C,Cout", [(32, 64), (96, 96)])
+@pytest.mark.parametrize("C,Cout", [(32, 64), (96, 96), (256, 256)])
 def test_windowed_logic_fwd_and_grads(real_plan, C, Cout):
+    # (256, 256) is the production L4 combination: single-call forward,
+    # class-split backward (bwd VMEM budget exceeded, fwd not)
     plan, wp, cap, num = real_plan
     rng = np.random.default_rng(0)
     x = np.zeros((cap, C), np.float32)
