@@ -368,9 +368,9 @@ def make_up_kernel(C: int, Coutp: int):
                 xt_hbm.at[pl.ds(gstart, UG)], win, sems)
             cp.start()
             cp.wait()
-            a = _gather_one(win, ulidx_ref[j], INVALID_U, UG, Cw)
+            a = _gather_one(win, ulidx_ref[0, j], INVALID_U, UG, Cw)
             v_even, v_odd = _unpack_pairs(a)
-            off = uoff_ref[j]
+            off = uoff_ref[0, j]
             c0, c1 = j * TILE, (j + 1) * TILE
             for k in range(KD):
                 sel = jnp.broadcast_to((off == k).reshape(1, TILE),
@@ -386,15 +386,18 @@ def make_up_kernel(C: int, Coutp: int):
         ctiles = ulidx.shape[0]
         cap = ctiles * TILE
         assert ctiles % mt == 0, (ctiles, mt)
+        # (ctiles, TILE) -> (ctiles//mt, mt, TILE) so the VMEM block
+        # (1, mt, TILE) has its last two dims equal to the array dims
+        # (Mosaic forbids a sublane block dim not divisible by 8).
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(ctiles // mt,),
                 in_specs=[
-                    pl.BlockSpec((mt, TILE), lambda t, ws: (t, 0),
+                    pl.BlockSpec((1, mt, TILE), lambda t, ws: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mt, TILE), lambda t, ws: (t, 0),
+                    pl.BlockSpec((1, mt, TILE), lambda t, ws: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -410,7 +413,8 @@ def make_up_kernel(C: int, Coutp: int):
             ),
             out_shape=jax.ShapeDtypeStruct((cap, Coutp), jnp.bfloat16),
             interpret=pallas_conv.INTERPRET,
-        )(uwin_start, ulidx, uoff, xt, wT)
+        )(uwin_start, ulidx.reshape(ctiles // mt, mt, TILE),
+          uoff.reshape(ctiles // mt, mt, TILE), xt, wT)
 
     return call
 
@@ -438,9 +442,9 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
                 gt_hbm.at[pl.ds(gstart, UG)], win, sems)
             cp.start()
             cp.wait()
-            a = _gather_one(win, ulidx_ref[j], INVALID_U, UG, Cow)
+            a = _gather_one(win, ulidx_ref[0, j], INVALID_U, UG, Cow)
             v_even, v_odd = _unpack_pairs(a)
-            off = uoff_ref[j]
+            off = uoff_ref[0, j]
             c0, c1 = j * TILE, (j + 1) * TILE
             for k in range(KD):
                 sel = jnp.broadcast_to((off == k).reshape(1, TILE),
@@ -462,15 +466,16 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
         cap = x.shape[0]
         ctiles = cap // TILE
         assert ctiles % mt == 0, (ctiles, mt)
+        # ulidx/uoff reshaped to (ctiles//mt, mt, TILE); see make_up_kernel.
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(ctiles // mt,),
                 in_specs=[
-                    pl.BlockSpec((mt, TILE), lambda t, ws: (t, 0),
+                    pl.BlockSpec((1, mt, TILE), lambda t, ws: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((mt, TILE), lambda t, ws: (t, 0),
+                    pl.BlockSpec((1, mt, TILE), lambda t, ws: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((mt * TILE, Cp), lambda t, ws: (t, 0),
                                  memory_space=pltpu.VMEM),
@@ -494,7 +499,8 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
                 jax.ShapeDtypeStruct((KD * Cout, Cp), jnp.float32),
             ],
             interpret=pallas_conv.INTERPRET,
-        )(uwin_start, ulidx, uoff, x, gt, wT)
+        )(uwin_start, ulidx.reshape(ctiles // mt, mt, TILE),
+          uoff.reshape(ctiles // mt, mt, TILE), x, gt, wT)
 
     return call
 

@@ -233,7 +233,8 @@ def main():
         from ..data.scene_io import load_fused_features, load_scene
         scene_path, feat_path = args.probe_scene.split(",")
         coords, _, _ = load_scene(scene_path)
-        feat, mask_full = load_fused_features(feat_path)
+        blob = load_fused_features(feat_path)
+        feat, mask_full = blob["feat"], blob["mask_full"]
         full = np.zeros((len(coords), feat.shape[1]), np.float32)
         full[mask_full] = feat.astype(np.float32)
         region_order, scores = probe_region_order(sd, args.arch, coords,

@@ -1,0 +1,63 @@
+"""End-to-end eval on a reference-format ``.pth.tar`` checkpoint.
+
+The reference anchors zero-shot eval on published torch/ME checkpoints
+(``run/evaluate.py:166-194``: URL or local file, DataParallel ``module.``
+prefix).  This test writes a byte-real ``.pth.tar`` with actual
+``torch.save`` (``{'state_dict': {'module.<ME name>': tensor}}``), points
+``cfg.model_path`` at it, and runs the FULL zero-shot evaluator
+(convert-on-load -> voxelize -> geometry -> UNet forward -> text matching
+-> reconstruction -> mIoU) on a synthetic val split.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import openscene_tpu.runtime.evaluate as E
+from openscene_tpu.config import Config
+from openscene_tpu.data.synthetic import (build_synthetic_dataset,
+                                          class_prototypes)
+from openscene_tpu.utils.convert_checkpoint import convert_state_dict
+
+from tests.test_unet_golden_parity import _me_state_dict
+
+DIM = 32
+
+
+def test_eval_runs_on_reference_pth_tar(tmp_path):
+    sd = _me_state_dict(np.random.default_rng(11), cout=DIM)
+    ckpt = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict": {"module." + k: torch.from_numpy(v)
+                               for k, v in sd.items()},
+                "epoch": 77}, str(ckpt))
+
+    d3, dfeat = build_synthetic_dataset(str(tmp_path), n_train=1, n_val=1,
+                                        dim=DIM, density=250.0,
+                                        all_classes=True,
+                                        num_rand_file_per_scene=1)
+    cfg = Config(data_root=d3, data_root_2d_fused_feature=dfeat,
+                 voxel_size=0.05, arch_3d="MinkUNet14A", split="val",
+                 test_repeats=1, feature_type="distill",
+                 model_path=str(ckpt), manual_seed=0,
+                 mark_no_feature_to_unknown=False)
+
+    orig = E.output_dim
+    E.output_dim = lambda _: DIM  # test-sized head instead of 512/768
+    try:
+        params, state = E.load_model_for_eval(cfg)
+    finally:
+        E.output_dim = orig
+
+    # convert-on-load produced exactly the direct conversion
+    ref_params, ref_state = convert_state_dict(sd, "MinkUNet14A")
+    np.testing.assert_array_equal(np.asarray(params["conv0"]),
+                                  np.asarray(ref_params["conv0"]))
+    np.testing.assert_array_equal(
+        np.asarray(state["bn0"]["mean"]),
+        np.asarray(ref_state["bn0"]["mean"]))
+
+    text = class_prototypes(20, DIM)
+    ev = E.ZeroShotEvaluator(cfg, params, state, text_features=text)
+    miou = ev.run()["miou"]
+    assert np.isfinite(miou) and 0.0 <= miou <= 1.0, miou

@@ -1,0 +1,185 @@
+"""Real-format artifact parity: blobs written by ACTUAL torch.save.
+
+The e2e suite exercises the repo's own .npz writers; these tests instead
+write byte-real reference artifacts with torch's pickler — the `.pth`
+scene tuple exactly as ``preprocess_3d_scannet.py:24-25`` does (float64
+numpy coords, [-1,1] colors, float64 remapper labels) and the
+``{'feat', 'mask_full'}`` fused-feature `.pt` exactly as
+``fusion_util.py:87-89`` does (torch half/bool tensors), plus the legacy
+3-key format (``feature_loader.py:114-117``) — then run the repo's
+loader -> voxelize -> align -> eval pipeline on them.  Pins format parity
+with a writer that shares no code with the implementation.
+
+Also bounds the fp16 -> fp32 eval numerics delta (the reference dots
+features against text embeddings in fp16, ``run/evaluate.py:291,296``; the
+repo uses fp32 — VERDICT r3 asked for a measured bound).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from openscene_tpu.data.loaders import FusedFeatureLoader, Point3DLoader
+from openscene_tpu.metrics import evaluate as metric_evaluate
+
+
+def _make_scene(rng, n=4000):
+    coords = (rng.random((n, 3)) * np.array([4.0, 5.0, 2.5])).astype(
+        np.float64)
+    colors = (rng.random((n, 3)) * 2.0 - 1.0).astype(np.float64)
+    # the reference's labels come out of `remapper[...]` as FLOAT64 with
+    # 255.0 for ignored classes (preprocess_3d_scannet.py:8-22)
+    labels = rng.integers(0, 20, n).astype(np.float64)
+    labels[rng.random(n) < 0.1] = 255.0
+    return coords, colors, labels
+
+
+def _write_reference_artifacts(tmp_path, rng, n=4000, dim=32, n_chunks=2):
+    """scene .pth + train chunk .pt blobs, bytes as the reference writes."""
+    (tmp_path / "scannet_3d" / "train").mkdir(parents=True)
+    (tmp_path / "scannet_2d").mkdir()
+    coords, colors, labels = _make_scene(rng, n)
+    # reference scene files keep the raw-ply stem: scene%04d_%02d_vh_clean_2
+    scene = (tmp_path / "scannet_3d" / "train"
+             / "scene0000_00_vh_clean_2.pth")
+    torch.save((coords, colors, labels), str(scene))
+
+    feat_bank = torch.from_numpy(
+        rng.standard_normal((n, dim)).astype(np.float32))
+    point_ids = np.flatnonzero(rng.random(n) < 0.8)  # "visible" points
+    chunks = []
+    for k in range(n_chunks):
+        # fusion_util.save_fused_feature:79-89 verbatim semantics
+        rand_ind = rng.choice(n, min(n, 3000), replace=False)
+        mask_entire = torch.zeros(n, dtype=torch.bool)
+        mask_entire[rand_ind] = True
+        mask = torch.zeros(n, dtype=torch.bool)
+        mask[point_ids] = True
+        mask_entire = mask_entire & mask
+        torch.save(
+            {"feat": feat_bank[mask_entire].half().cpu(),
+             "mask_full": mask_entire},
+            str(tmp_path / "scannet_2d" / f"scene0000_00_{k}.pt"))
+        chunks.append((feat_bank[mask_entire].numpy(),
+                       mask_entire.numpy()))
+    return coords, colors, labels, feat_bank.numpy(), chunks
+
+
+def test_point_loader_reads_torch_pth(tmp_path):
+    rng = np.random.default_rng(0)
+    coords, colors, labels, _, _ = _write_reference_artifacts(tmp_path, rng)
+    loader = Point3DLoader(str(tmp_path / "scannet_3d"), voxel_size=0.05,
+                           split="train", aug=False)
+    s = loader.get(0)
+    assert s.coords.dtype == np.int32 and s.coords.ndim == 2
+    assert s.labels.dtype == np.int64
+    assert set(np.unique(s.labels)) <= set(range(20)) | {255}
+    assert s.feats.shape == (len(s.coords), 3)
+    np.testing.assert_array_equal(s.feats, 1.0)  # constant-input default
+
+
+def test_fused_loader_train_alignment_on_torch_pt(tmp_path):
+    """Train path: every kept voxel's feature must equal the feature bank
+    row of its representative point — checked against the raw blob with
+    independent numpy indexing."""
+    rng = np.random.default_rng(1)
+    (coords, colors, labels, feat_bank,
+     chunks) = _write_reference_artifacts(tmp_path, rng)
+    loader = FusedFeatureLoader(str(tmp_path / "scannet_3d"),
+                                str(tmp_path / "scannet_2d"),
+                                voxel_size=0.05, split="train", aug=False)
+    assert loader.list_occur == [2]
+    for idx in range(4):  # several visits: random chunk choice each time
+        s = loader.get(idx)
+        assert s.feat_3d.shape == (int(s.feat_mask.sum()), 32)
+        assert s.feat_3d.dtype == np.float16
+        # replay the loader's per-visit RNG stream independently: one
+        # chunk-choice draw, then voxelization with the same generator
+        rng_v = np.random.default_rng((0, idx))
+        k = int(rng_v.integers(2))
+        feat_chunk, mask_full = chunks[k]
+        _, _, _, _, vox_ind = loader.voxelizer.voxelize(
+            coords, (colors + 1) * 127.5, labels, return_ind=True,
+            rng=rng_v)
+        expect_mask = mask_full[vox_ind]
+        np.testing.assert_array_equal(s.feat_mask, expect_mask)
+        rows = (np.cumsum(mask_full) - 1)[vox_ind[expect_mask]]
+        np.testing.assert_array_equal(s.feat_3d,
+                                      feat_chunk[rows].astype(np.float16))
+
+
+def test_fused_loader_val_and_legacy_format(tmp_path):
+    rng = np.random.default_rng(2)
+    n, dim = 3000, 16
+    (tmp_path / "scannet_3d" / "val").mkdir(parents=True)
+    (tmp_path / "scannet_2d").mkdir()
+    coords, colors, labels = _make_scene(rng, n)
+    torch.save((coords, colors, labels),
+               str(tmp_path / "scannet_3d" / "val"
+                   / "scene0001_00_vh_clean_2.pth"))
+    # legacy 3-key blob: feat (M, C, 1) half, mask = visible indices into
+    # feat's rows, mask_full bool (feature_loader.py:114-117)
+    mask_full = rng.random(n) < 0.7
+    M = int(mask_full.sum())
+    feat = rng.standard_normal((M, dim)).astype(np.float32)
+    vis_idx = np.flatnonzero(rng.random(M) < 0.9)
+    torch.save(
+        {"feat": torch.from_numpy(feat).half().unsqueeze(-1),
+         "mask": torch.from_numpy(vis_idx),
+         "mask_full": torch.from_numpy(mask_full)},
+        str(tmp_path / "scannet_2d" / "scene0001_00_0.pt"))
+
+    loader = FusedFeatureLoader(str(tmp_path / "scannet_3d"),
+                                str(tmp_path / "scannet_2d"),
+                                voxel_size=0.05, split="val", aug=False,
+                                eval_all=True)
+    s = loader.get(0)
+    # val path scatters features to the full cloud then samples voxels
+    assert s.feat_3d.shape == (len(s.coords), dim)
+    assert s.labels.shape == (n,)  # eval_all keeps unvoxelized labels
+    assert s.inds_reconstruct.shape == (n,)
+    # voxels whose representative point is visible carry its exact feature
+    vis_full = np.zeros(n, dtype=bool)
+    keep = np.zeros(M, dtype=bool)
+    keep[vis_idx] = True
+    vis_full[mask_full] = keep
+    full = np.zeros((n, dim), np.float16)
+    full[vis_full] = feat[keep].astype(np.float16)
+    _, _, _, _, vox_ind = loader.voxelizer.voxelize(
+        coords, (colors + 1) * 127.5, labels, return_ind=True,
+        rng=np.random.default_rng((0, 0)))
+    np.testing.assert_array_equal(s.feat_mask, vis_full[vox_ind])
+    np.testing.assert_array_equal(s.feat_3d, full[vox_ind])
+
+
+def test_fp16_vs_fp32_eval_logit_delta():
+    """Reference computes fusion-mode logits fp16 (run/evaluate.py:291,296);
+    the repo computes fp32.  Bound the decision delta: >=99.9% argmax
+    agreement on a realistic fused-feature bank, and the disagreements are
+    argmax-margin ties (documented numerics delta, not a bug)."""
+    rng = np.random.default_rng(3)
+    n, dim, n_cls = 20000, 768, 20
+    text = rng.standard_normal((n_cls, dim)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    # features = noisy class prototypes, stored fp16 like the real blobs
+    cls = rng.integers(0, n_cls, n)
+    feat = (text[cls] + 0.9 * rng.standard_normal((n, dim))).astype(
+        np.float16)
+
+    logits16 = feat @ text.T.astype(np.float16)          # fp16 accumulate
+    logits32 = feat.astype(np.float32) @ text.T          # repo path
+    a16 = logits16.astype(np.float32).argmax(1)
+    a32 = logits32.argmax(1)
+    agree = float((a16 == a32).mean())
+    assert agree >= 0.999, agree
+    # disagreeing rows are near-ties in fp32 (margin below fp16 resolution)
+    dis = a16 != a32
+    if dis.any():
+        srt = np.sort(logits32[dis], axis=1)
+        margins = srt[:, -1] - srt[:, -2]
+        assert margins.max() < 0.02, margins.max()
+    # mIoU delta of the two decision rules on the same labels
+    m16 = metric_evaluate(a16, cls, dataset="scannet_3d", stdout=False)
+    m32 = metric_evaluate(a32, cls, dataset="scannet_3d", stdout=False)
+    assert abs(m16 - m32) < 5e-3
