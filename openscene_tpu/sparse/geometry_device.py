@@ -196,12 +196,21 @@ def _col_hits(g, dx, dy, dz, kh, kl, pos, a_kh, a_kl, a_zm, a_val, cap):
     return exists, row
 
 
-def build_self_plan_device(coords, num, kernel_size: int) -> ConvPlan:
+def build_self_plan_device(coords, num, kernel_size: int,
+                           shared_probes=None) -> ConvPlan:
     """Stride-1 stencil plan on one level: fwd[k, r] = row of
     (coord_r + offset_k), or a spread-null row when absent.
 
     Matches geometry.build_self_plan bit-for-bit (same offset order, same
-    null formula)."""
+    null formula).
+
+    ``shared_probes``: optional ``(cols, probes)`` from a WIDER stencil's
+    `_column_probes` on the same level (e.g. the k=5 stem's 24 columns
+    contain all 8 k=3 columns).  `_col_hits` is anchor-agnostic — the
+    anchor is a lower bound of (col, z - r_any) and the target row is
+    recovered through the anchor's zmask — so reusing deeper-reach anchors
+    is exact and saves this level's whole probe pass (~25% of the L0
+    geometry build's search work when combined with the stem)."""
     cap = coords.shape[0]
     offsets = stencil_offsets(kernel_size)
     K = len(offsets)
@@ -212,8 +221,15 @@ def build_self_plan_device(coords, num, kernel_size: int) -> ConvPlan:
 
     cols = sorted({(int(dx), int(dy)) for dx, dy, _ in offsets.tolist()
                    if (dx, dy) != (0, 0)})
-    col_of = {c: g for g, c in enumerate(cols)}
-    pos, a_kh, a_kl, a_zm, a_val, zm = _column_probes(kh, kl, num, cols, r)
+    if shared_probes is not None:
+        shared_cols, shared = shared_probes
+        assert set(cols) <= set(shared_cols), (cols, shared_cols)
+        col_of = {c: shared_cols.index(c) for c in cols}
+        pos, a_kh, a_kl, a_zm, a_val, zm = shared
+    else:
+        col_of = {c: g for g, c in enumerate(cols)}
+        pos, a_kh, a_kl, a_zm, a_val, zm = _column_probes(kh, kl, num,
+                                                          cols, r)
 
     # own-column dz!=0 offsets: direct shifted-neighbor checks, no search
     zf = kl & jnp.int32(_F - 1)
@@ -475,14 +491,18 @@ def build_edge_window_plan_device(fwd, child_parent, child_offset,
     return plan, (n_d > d_spill_cap) | (n_u > u_spill_cap)
 
 
-def build_stem_occupancy_device(coords, num, kernel_size: int = 5):
+def build_stem_occupancy_device(coords, num, kernel_size: int = 5,
+                                return_probes: bool = False):
     """(K, cap) bf16 stencil occupancy — the only thing the k=5 stem needs
     for constant-input models (occupancy GEMM, models/sparse_unet.py) —
     without ever materializing the (K, cap) int32 index plan.
 
     Same anchored zmask scheme as build_self_plan_device (3 gathers per
     column instead of 2*(2r+1)); own-column bits come straight from the
-    forward/backward shifted compares."""
+    forward/backward shifted compares.
+
+    ``return_probes=True`` additionally returns ``(cols, probes)`` for
+    reuse by the same level's k=3 plan (build_self_plan_device)."""
     cap = coords.shape[0]
     offsets = stencil_offsets(kernel_size)
     r = kernel_size // 2
@@ -532,7 +552,10 @@ def build_stem_occupancy_device(coords, num, kernel_size: int = 5):
         exists, _ = _col_hits(g, dx, dy, dz, kh, kl, pos, a_kh, a_kl,
                               a_zm, a_val, cap)
         occ.append(exists & valid)
-    return jnp.stack(occ).astype(jnp.bfloat16)
+    out = jnp.stack(occ).astype(jnp.bfloat16)
+    if return_probes:
+        return out, (cols, (pos, a_kh, a_kl, a_zm, a_val, zm))
+    return out
 
 
 def build_geometry_parts(coords, num, caps: Tuple[int, ...],
@@ -564,17 +587,24 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
         levels.append(coarse)
         downs.append(plan)
     stem_occ = None
+    l0_probes = None
     if stem_occupancy:
         stem = ConvPlan(fwd=None,
                         flip_perm=flip_permutation(
                             stencil_offsets(stem_kernel)))
-        stem_occ = build_stem_occupancy_device(levels[0].coords,
-                                               levels[0].num, stem_kernel)
+        stem_occ, l0_probes = build_stem_occupancy_device(
+            levels[0].coords, levels[0].num, stem_kernel,
+            return_probes=True)
     else:
         stem = build_self_plan_device(levels[0].coords, levels[0].num,
                                       stem_kernel)
-    self3 = tuple(build_self_plan_device(lv.coords, lv.num, 3)
-                  for lv in levels)
+    # L0's k=3 plan reuses the stem's column probes (its 8 columns are a
+    # subset of the k=5 stem's 24; the anchored-zmask row recovery is
+    # anchor-reach-agnostic) — saves a full 8-column probe pass at cap0.
+    self3 = tuple(
+        build_self_plan_device(lv.coords, lv.num, 3,
+                               shared_probes=l0_probes if l == 0 else None)
+        for l, lv in enumerate(levels))
     wplans = [None] * num_levels
     ewplans = [None] * (num_levels - 1)
     if windows:
