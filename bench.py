@@ -165,7 +165,8 @@ def main():
         def build_geo(coords, num):
             geo, ov = build_geometry_parts(coords, num, caps.fixed,
                                            windows=windows,
-                                           stem_occupancy=True)
+                                           stem_occupancy=True,
+                                           n_scenes=8)
             return geo, ov
 
         t0 = time.time()

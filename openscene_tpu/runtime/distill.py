@@ -122,7 +122,8 @@ def make_optimizer(cfg: Config, max_iter: int):
     return optax.adam(schedule), schedule
 
 
-def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
+def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None,
+                    n_scenes=None, grid_dims0=None):
     """Jitted train step.
 
     ``geo_caps`` (a static per-level cap tuple) switches the step to
@@ -133,7 +134,13 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
     In that mode the step returns an extra ``spill_overflow`` bool: True
     means a window-plan spill bucket overflowed and the batch must be
     re-run via the host/XLA path (the trainer checks it with the loss
-    sync)."""
+    sync).
+
+    ``n_scenes`` (static; scenes per device batch) additionally switches
+    the in-jit geometry build to the dense occupancy-grid prober
+    (sparse/grid.py, ~10x cheaper at bench scale); scenes whose bbox
+    exceeds ``grid_dims0`` (default sparse.grid.DEFAULT_DIMS0) surface as
+    the same overflow->host-fallback contract."""
     arch = cfg.arch_3d
     loss_kind = cfg.loss_type
     const_in = not cfg.input_color
@@ -148,7 +155,8 @@ def make_train_step(cfg: Config, opt, mesh=None, geo_caps=None):
             from ..sparse.geometry_device import build_geometry_parts
             geo, overflow = build_geometry_parts(
                 batch.coords, batch.num, geo_caps, windows=use_windows,
-                stem_occupancy=const_in)
+                stem_occupancy=const_in, n_scenes=n_scenes,
+                grid_dims0=grid_dims0)
         else:
             geo = batch.geo
 
@@ -491,9 +499,9 @@ class DistillTrainer:
     def _raw_step(self, caps: Tuple[int, ...]):
         """Device-geometry train step, cached per static cap signature."""
         if caps not in self._dg_steps:
-            self._dg_steps[caps] = make_train_step(self.cfg, self.opt,
-                                                   mesh=self.mesh,
-                                                   geo_caps=caps)
+            self._dg_steps[caps] = make_train_step(
+                self.cfg, self.opt, mesh=self.mesh, geo_caps=caps,
+                n_scenes=self.per_dev_batch)
         return self._dg_steps[caps]
 
     def _host_batch_from_raw(self, raw):

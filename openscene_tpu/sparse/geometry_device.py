@@ -561,7 +561,9 @@ def build_stem_occupancy_device(coords, num, kernel_size: int = 5,
 def build_geometry_parts(coords, num, caps: Tuple[int, ...],
                          stem_kernel: int = 5, num_levels: int = 5,
                          windows: bool = False,
-                         stem_occupancy: bool = False):
+                         stem_occupancy: bool = False,
+                         n_scenes: Optional[int] = None,
+                         grid_dims0: Optional[Tuple[int, int, int]] = None):
     """Traceable geometry construction (call from inside an outer jit, e.g.
     the train step). Returns (UNetGeometry, spill_overflow bool scalar).
 
@@ -570,7 +572,14 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
     any level's spill bucket overflowed (caller must fall back — the plan
     would silently drop spill corrections otherwise).
     ``stem_occupancy=True`` builds the k=5 stem as a (K, cap0) occupancy
-    matrix only (constant-input models)."""
+    matrix only (constant-input models).
+
+    ``n_scenes`` (static) switches the stem/self-plan construction to the
+    dense occupancy-grid prober (:mod:`openscene_tpu.sparse.grid`) — ~10x
+    cheaper at bench scale than the searchsorted path — sized by
+    ``grid_dims0`` (L0 extents, halved per level).  A scene exceeding the
+    static grid raises ``overflow`` (caller falls back, same contract as
+    spill overflow).  ``n_scenes=None`` keeps the search-based path."""
     from .pallas_conv import MTILE, TILE, WIN
 
     num = jnp.asarray(num)
@@ -587,24 +596,49 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
         levels.append(coarse)
         downs.append(plan)
     stem_occ = None
-    l0_probes = None
-    if stem_occupancy:
-        stem = ConvPlan(fwd=None,
-                        flip_perm=flip_permutation(
-                            stencil_offsets(stem_kernel)))
-        stem_occ, l0_probes = build_stem_occupancy_device(
-            levels[0].coords, levels[0].num, stem_kernel,
-            return_probes=True)
+    if n_scenes is not None:
+        from . import grid as gridmod
+        dims0 = grid_dims0 or gridmod.DEFAULT_DIMS0
+        grids = []
+        for l, lv in enumerate(levels):
+            g = gridmod.build_level_grid(lv.coords, lv.num, n_scenes,
+                                         gridmod.dims_for_level(l, dims0))
+            overflow = overflow | g.overflow
+            grids.append(g)
+        if stem_occupancy:
+            stem = ConvPlan(fwd=None,
+                            flip_perm=flip_permutation(
+                                stencil_offsets(stem_kernel)))
+            stem_occ, self3_l0 = gridmod.stem_and_self3_from_grid(
+                grids[0], levels[0].num, stem_kernel)
+        else:
+            stem = gridmod.self_plan_from_grid(grids[0], levels[0].num,
+                                               stem_kernel)
+            self3_l0 = gridmod.self_plan_from_grid(grids[0], levels[0].num,
+                                                   3)
+        self3 = tuple([self3_l0] + [
+            gridmod.self_plan_from_grid(grids[l], levels[l].num, 3)
+            for l in range(1, num_levels)])
     else:
-        stem = build_self_plan_device(levels[0].coords, levels[0].num,
-                                      stem_kernel)
-    # L0's k=3 plan reuses the stem's column probes (its 8 columns are a
-    # subset of the k=5 stem's 24; the anchored-zmask row recovery is
-    # anchor-reach-agnostic) — saves a full 8-column probe pass at cap0.
-    self3 = tuple(
-        build_self_plan_device(lv.coords, lv.num, 3,
-                               shared_probes=l0_probes if l == 0 else None)
-        for l, lv in enumerate(levels))
+        l0_probes = None
+        if stem_occupancy:
+            stem = ConvPlan(fwd=None,
+                            flip_perm=flip_permutation(
+                                stencil_offsets(stem_kernel)))
+            stem_occ, l0_probes = build_stem_occupancy_device(
+                levels[0].coords, levels[0].num, stem_kernel,
+                return_probes=True)
+        else:
+            stem = build_self_plan_device(levels[0].coords, levels[0].num,
+                                          stem_kernel)
+        # L0's k=3 plan reuses the stem's column probes (its 8 columns are a
+        # subset of the k=5 stem's 24; the anchored-zmask row recovery is
+        # anchor-reach-agnostic) — saves a full 8-column probe pass at cap0.
+        self3 = tuple(
+            build_self_plan_device(lv.coords, lv.num, 3,
+                                   shared_probes=l0_probes if l == 0 else
+                                   None)
+            for l, lv in enumerate(levels))
     wplans = [None] * num_levels
     ewplans = [None] * (num_levels - 1)
     if windows:
