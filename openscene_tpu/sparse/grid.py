@@ -1,26 +1,39 @@
 """Dense occupancy-grid stencil probing for the on-device geometry builder.
 
 The r3 geometry build spent ~1.1s of its 1.4s in `geometry_device`'s
-24-column searchsorted pass at cap0 (measured, scripts/dev_profile_geo.py):
-every (row, stencil-column) query costs ~4 irregular HBM reads through the
-128-ary pivot tree plus anchor gathers, and XLA prices every irregular read
-at ~12ns regardless of width.
-
+24-column searchsorted pass at cap0 (measured, scripts/dev_profile_geo.py:
+347ms of pivot-tree searches + ~700ms of anchor gathers/zmask hit logic).
 This module replaces the per-column searches with a dense bitmask grid +
 rank (popcount-prefix) structure, the classic succinct-set trade:
 
-* **Build** (per level): scatter one bit per voxel into a static
-  ``(B, nx_p, ny_p, nzw)`` uint32 grid (z packed 32/word, per-scene bbox
-  offsets so scenes share one static shape), then one exclusive cumsum of
-  per-word popcounts.  Because the grid's (b, x, y, z) traversal order IS
-  the batch's lex sort order (data/batch.py), the rank of a set bit is
-  exactly its voxel's global row index — no sorting, no searching.
-* **Query**: for an output row and stencil offset (dx, dy, dz):
-  ``exists`` = bit test at the target cell, ``row`` = cum[word] +
-  popcount(bits below).  One gathered (2r+1, nzw, 2) slab per (row, dx)
-  serves ALL (dy, dz) offsets of that dx-plane — 5 slab gathers per row
-  answer the whole k=5 stem (124 neighbor offsets) AND the k=3 self plan,
-  vs 24 tree searches + 24 anchor gathers before.
+* **Build** (per level): scatter one bit per voxel into a static flat
+  word array (z packed 32/word, per-scene bbox offsets so scenes share one
+  static shape), one exclusive cumsum of per-word popcounts, then repack
+  words+ranks into a ``(R, 128)`` row table.  Because the grid's
+  (b, x, y, z) traversal order IS the batch's lex sort order
+  (data/batch.py), the rank of a set bit is exactly its voxel's global row
+  index — no sorting, no searching.
+* **Query**: one table row packs a whole (b, x, y-block) probe line:
+  ``YB`` y-values x ``LPY`` z-words in lanes [0, 64) and their exclusive
+  bit-ranks in lanes [64, 128).  A (2r+1)-wide y-window spans at most two
+  blocks for ``YB >= 2r``, so ONE dx-plane of a k<=5 stencil needs exactly
+  2 aligned 128-lane row gathers; every (dy, dz) offset is then a cheap
+  one-hot lane extract + bit test, and ``row = rank[word] +
+  popcount(bits below)``.
+
+Why this exact shape (all measured on-chip, scripts/dev_grid_gather.py /
+dev_grid_rowgather.py, cap0 = 1.1M):
+
+* aligned full-128-lane row gathers (`jnp.take(table, idx, axis=0)`) cost
+  1.9-5.5ms per cap-sized fetch even from a 367MB table — XLA's fast
+  gather path;
+* unaligned narrow lane slices degrade to ~20-50ms PER LANE (the first
+  slab-gather cut measured 2.3s per dx-plane);
+* scalar (cap,) gathers cost ~8ms each below ~60MB tables (the search
+  path's anchor reads), so even a perfect scalar-probe design would pay
+  ~300ms where the row table pays ~40ms of gathers + ~70ms of extracts;
+* a 128-lane one-hot extract of a data-dependent lane costs ~1.1ms and
+  fuses with the gather consumer.
 
 Exactness: plans are bit-identical to the NumPy builder
 (:mod:`openscene_tpu.sparse.geometry`) — same offset order, same
@@ -35,7 +48,7 @@ Replaces the reference's MinkowskiEngine GPU coordinate-map hashing
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,41 +71,55 @@ def dims_for_level(level: int,
 
 
 class LevelGrid(NamedTuple):
-    """Occupancy+rank grid of one level plus per-row query coordinates."""
-    A2: jnp.ndarray      # (B*nx_p*ny_p, nzw*2) int32 [word, cum] interleave
-    qrow: jnp.ndarray    # (cap,) int32 row of (b, xs, ys) in A2
+    """Occupancy+rank row table of one level plus per-row query coords."""
+    table: jnp.ndarray   # (R, 128) int32: lanes [0,64) words, [64,128) cum
+    rowbase: jnp.ndarray  # (cap,) int32 = (b*nx_p + xs) * nyb
+    ys: jnp.ndarray      # (cap,) int32 bbox-shifted y (>= PAD for valid)
     zs: jnp.ndarray      # (cap,) int32 bbox-shifted z (>= PAD for valid)
     valid: jnp.ndarray   # (cap,) bool
     overflow: jnp.ndarray  # () bool: some valid voxel outside the grid
-    ny_p: int
-    nzw: int
+    nzw: int             # z words per y
+    lpy: int             # lanes per y = nzw + 1 (guard word, always 0)
+    yb: int              # y values per table row
+    nyb: int             # y blocks per (b, x) stripe
 
 
 def build_level_grid(coords, num, n_scenes: int,
                      dims: Tuple[int, int, int]) -> LevelGrid:
-    """Scatter one level's voxels into its bitmask grid (see module doc)."""
+    """Scatter one level's voxels into its bitmask row table (module doc)."""
     nx, ny, nz = dims
     nzw = (nz + 2 * PAD + 31) // 32
+    lpy = nzw + 1                       # +1 zero guard word: the hi-word
+    yb = 64 // lpy                      # extract at z top never wraps into
+    assert yb >= 4, dims                # the next y's lane (yb>=4: k=5 ok)
     nx_p, ny_p = nx + 2 * PAD, ny + 2 * PAD
+    nyb = -(-ny_p // yb)
     B = n_scenes
     c = coords.astype(jnp.int32)
     cap = c.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < num
 
-    # per-scene bbox minima (big sentinel where a scene is empty)
+    # per-scene bbox minima (big sentinel where a scene is empty), applied
+    # with B-way selects — a (cap, B) one-hot matmul would lane-pad B to 128
     big = jnp.int32(1 << 20)
-    onehot = (c[:, 0][None, :] == jnp.arange(B, dtype=jnp.int32)[:, None]
-              ) & valid[None, :]                                  # (B, cap)
-    masked = jnp.where(onehot[:, None, :], c[:, 1:].T[None], big)
-    mins = masked.min(axis=2)                                     # (B, 3)
-    sel = onehot.T.astype(jnp.int32)                              # (cap, B)
-    shift = sel @ mins                                            # (cap, 3)
+    b_col = c[:, 0]
+    sx = jnp.zeros((cap,), jnp.int32)
+    sy = jnp.zeros((cap,), jnp.int32)
+    sz = jnp.zeros((cap,), jnp.int32)
+    for i in range(B):
+        in_i = valid & (b_col == i)
+        mx = jnp.where(in_i, c[:, 1], big).min()
+        my = jnp.where(in_i, c[:, 2], big).min()
+        mz = jnp.where(in_i, c[:, 3], big).min()
+        sx = jnp.where(in_i, mx, sx)
+        sy = jnp.where(in_i, my, sy)
+        sz = jnp.where(in_i, mz, sz)
 
-    xs = jnp.where(valid, c[:, 1] - shift[:, 0] + PAD, PAD)
-    ys = jnp.where(valid, c[:, 2] - shift[:, 1] + PAD, PAD)
-    zs = jnp.where(valid, c[:, 3] - shift[:, 2] + PAD, PAD)
-    b = jnp.where(valid, c[:, 0], 0)
-    over = valid & ((c[:, 0] < 0) | (c[:, 0] >= B) | (xs >= nx + PAD)
+    xs = jnp.where(valid, c[:, 1] - sx + PAD, PAD)
+    ys = jnp.where(valid, c[:, 2] - sy + PAD, PAD)
+    zs = jnp.where(valid, c[:, 3] - sz + PAD, PAD)
+    b = jnp.where(valid, b_col, 0)
+    over = valid & ((b_col < 0) | (b_col >= B) | (xs >= nx + PAD)
                     | (ys >= ny + PAD) | (zs >= nz + PAD))
     overflow = over.any()
 
@@ -104,54 +131,58 @@ def build_level_grid(coords, num, n_scenes: int,
         jnp.int32(1) << (zs & 31), mode="drop")
     pc = jax.lax.population_count(words)
     cum = jnp.cumsum(pc) - pc                                    # exclusive
-    A2 = jnp.stack([words, cum], axis=-1).reshape(B * nx_p * ny_p, nzw * 2)
-    qrow = (b * nx_p + xs) * ny_p + ys
-    return LevelGrid(A2=A2, qrow=qrow, zs=zs, valid=valid,
-                     overflow=overflow, ny_p=ny_p, nzw=nzw)
+
+    # repack into the (R, 128) row table: per (b, x, y-block) row, yb
+    # y-values of lpy lanes each (z words + zero guard), words in lanes
+    # [0, 64), matching exclusive ranks in [64, 128)
+    def pack(a):
+        a = a.reshape(B * nx_p, ny_p, nzw)
+        a = jnp.pad(a, ((0, 0), (0, nyb * yb - ny_p), (0, 1)))
+        a = a.reshape(B * nx_p * nyb, yb * lpy)
+        return jnp.pad(a, ((0, 0), (0, 64 - yb * lpy)))
+
+    table = jnp.concatenate([pack(words), pack(cum)], axis=1)
+    return LevelGrid(table=table, rowbase=(b * nx_p + xs) * nyb,
+                     ys=ys, zs=zs, valid=valid, overflow=overflow,
+                     nzw=nzw, lpy=lpy, yb=yb, nyb=nyb)
 
 
-def _gather_slabs(A2, rows0, nrows: int):
-    """(cap,) start rows -> (cap, nrows, nzw*2) contiguous-row slabs.
+def _extract(slab0, slab1, which, lane):
+    """Data-dependent lane extract from two gathered row slabs.
 
-    One multi-row gather per probe: XLA prices a gather by its index count
-    (~12ns each), so fetching all 2r+1 dy rows of a dx-plane in one slab is
-    ~(2r+1)x cheaper than per-(dx,dy) row gathers.  CLIP keeps padded rows'
-    garbage indices in-bounds (their results are masked by ``valid``)."""
-    return jax.lax.gather(
-        A2, rows0[:, None].astype(jnp.int32),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(),
-            start_index_map=(0,)),
-        slice_sizes=(nrows, A2.shape[1]),
-        mode=jax.lax.GatherScatterMode.CLIP)
+    slab0/slab1: (cap, 128); which: (cap,) in {0,1} picks the slab; lane:
+    (cap,) int32.  One-hot compare + masked row-sum (~1.1ms at cap0,
+    measured dev_grid_rowgather) — never materializes a lane-padded
+    (cap, small) array."""
+    sel = jnp.arange(128, dtype=jnp.int32)[None, :] == lane[:, None]
+    v0 = jnp.sum(jnp.where(sel, slab0, 0), axis=1)
+    v1 = jnp.sum(jnp.where(sel, slab1, 0), axis=1)
+    return jnp.where(which == 0, v0, v1)
 
 
-def _dx_plane_hits(g: LevelGrid, dx: int, r: int, want_rows: bool,
-                   slab=None, srows: Optional[int] = None):
+def _dx_plane_hits(g: LevelGrid, dx: int, r: int, want_rows: bool):
     """All (dy, dz) in [-r, r]^2 hits of one dx-plane.
 
     Returns {(dy, dz): (exists bool (cap,), row int32 (cap,) or None)}.
-    ``slab``/``srows``: reuse a wider already-gathered slab (the k=5 stem's
-    5-row slab contains the k=3 plan's 3 rows)."""
-    nzw = g.nzw
-    if slab is None:
-        srows = 2 * r + 1
-        slab = _gather_slabs(g.A2, g.qrow + dx * g.ny_p - r, srows)
-    slab = slab.reshape(slab.shape[0], srows, nzw, 2)
-    pad = (srows - (2 * r + 1)) // 2
-    words, cums = slab[..., 0], slab[..., 1]
+    Exactly two aligned 128-lane row gathers per plane (a (2r+1)-wide
+    y-window spans <= 2 y-blocks for yb >= 2r)."""
+    assert g.yb >= 2 * r, (g.yb, r)
+    blk0 = (g.ys - r) // g.yb
+    row0 = g.rowbase + dx * g.nyb + blk0
+    nrow = g.table.shape[0]
+    s0 = jnp.take(g.table, jnp.clip(row0, 0, nrow - 1), axis=0)
+    s1 = jnp.take(g.table, jnp.clip(row0 + 1, 0, nrow - 1), axis=0)
+    w0 = (g.zs - r) >> 5
     out = {}
-    for j in range(2 * r + 1):
-        wj, cj = words[:, j + pad, :], cums[:, j + pad, :]
-        # the dz in [-r, r] targets live in words w0 / w0+1 (2r+1 <= 32)
-        w0 = (g.zs - r) >> 5
-        lanes = jnp.arange(nzw, dtype=jnp.int32)[None, :]
-        sel0 = lanes == w0[:, None]
-        sel1 = lanes == (w0 + 1)[:, None]
-        lo = jnp.sum(jnp.where(sel0, wj, 0), axis=1)
-        hi = jnp.sum(jnp.where(sel1, wj, 0), axis=1)
-        cum0 = jnp.sum(jnp.where(sel0, cj, 0), axis=1)
+    for dy in range(-r, r + 1):
+        yq = g.ys + dy
+        blk = yq // g.yb
+        li = (yq - blk * g.yb) * g.lpy + w0
+        which = blk - blk0
+        lo = _extract(s0, s1, which, li)
+        hi = _extract(s0, s1, which, li + 1)     # guard lane: 0 at z top
         pclo = jax.lax.population_count(lo)
+        cum0 = _extract(s0, s1, which, li + 64) if want_rows else None
         for dz in range(-r, r + 1):
             zq = g.zs + dz
             in0 = (zq >> 5) == w0
@@ -162,9 +193,9 @@ def _dx_plane_hits(g: LevelGrid, dx: int, r: int, want_rows: bool,
                 below = word_q & ((jnp.int32(1) << bq) - 1)
                 row = (jnp.where(in0, cum0, cum0 + pclo)
                        + jax.lax.population_count(below))
-                out[(j - r, dz)] = (exists, row)
+                out[(dy, dz)] = (exists, row)
             else:
-                out[(j - r, dz)] = (exists, None)
+                out[(dy, dz)] = (exists, None)
     return out
 
 
@@ -185,7 +216,7 @@ def self_plan_from_grid(g: LevelGrid, num, kernel_size: int) -> ConvPlan:
     K = len(offsets)
     r = kernel_size // 2
     assert r <= PAD, kernel_size
-    cap = g.qrow.shape[0]
+    cap = g.rowbase.shape[0]
     nulls = _null_rows((K, cap), num, cap)
     rows_i = jnp.arange(cap, dtype=jnp.int32)
     fwd = [None] * K
@@ -206,12 +237,13 @@ def self_plan_from_grid(g: LevelGrid, num, kernel_size: int) -> ConvPlan:
 
 def stem_and_self3_from_grid(g: LevelGrid, num, stem_kernel: int = 5
                              ) -> Tuple[jnp.ndarray, ConvPlan]:
-    """(stem occupancy (K5, cap) bf16, k=3 ConvPlan) sharing one set of
-    5-row slab gathers: the k=3 plan's (dx, dy) in [-1,1]^2 windows are
-    interior rows of the stem's 5-row dx-plane slabs."""
+    """(stem occupancy (K5, cap) bf16, k=3 ConvPlan) in one pass: the k=3
+    plan's offsets are the interior of the stem's dx-planes, so its rows
+    come from the same 2-per-plane row gathers (rank extracts only for
+    |dx| <= 1)."""
     assert stem_kernel == 5, stem_kernel
     r5, r3 = 2, 1
-    cap = g.qrow.shape[0]
+    cap = g.rowbase.shape[0]
     K5 = (2 * r5 + 1) ** 3
     K3 = (2 * r3 + 1) ** 3
     nulls3 = _null_rows((K3, cap), num, cap)
@@ -219,11 +251,8 @@ def stem_and_self3_from_grid(g: LevelGrid, num, stem_kernel: int = 5
     occ = [None] * K5
     fwd3 = [None] * K3
     for dx in range(-r5, r5 + 1):
-        srows = 2 * r5 + 1
-        slab = _gather_slabs(g.A2, g.qrow + dx * g.ny_p - r5, srows)
         inner = abs(dx) <= r3
-        hits = _dx_plane_hits(g, dx, r5, want_rows=inner, slab=slab,
-                              srows=srows)
+        hits = _dx_plane_hits(g, dx, r5, want_rows=inner)
         for dy in range(-r5, r5 + 1):
             for dz in range(-r5, r5 + 1):
                 k5 = ((dx + r5) * 5 + (dy + r5)) * 5 + (dz + r5)

@@ -176,7 +176,7 @@ def main():
     def grid_build(coords, num):
         g = gridmod.build_level_grid(coords, num, 8,
                                      gridmod.dims_for_level(0))
-        return g.A2[0, 0], g.overflow
+        return g.table[0, 0], g.overflow
 
     timeit("grid: L0 build_level_grid", grid_build, coords, num)
 
