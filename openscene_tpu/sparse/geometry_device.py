@@ -351,7 +351,8 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     (scripts/dev_window_stats); the ~4.2%-of-ntiles default gives ~1.5x
     headroom, overflow -> trainer re-runs the batch via the host path.
     """
-    from .pallas_conv import INVALID, MTILE, NCLASS, TILE, WIN, WindowPlan
+    from .pallas_conv import (INVALID, MTILE, NCLASS, TILE, WIN, WINS,
+                              WindowPlan)
 
     K = fwd.shape[0]
     assert cap >= WIN and cap % (MTILE * TILE) == 0, (cap, WIN, TILE)
@@ -376,10 +377,10 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))
         mn = jnp.where(mn == imax, 0, mn)
-        start = jnp.minimum((mn // 128) * 128, cap - WIN)
+        start = jnp.minimum((mn // 128) * 128, cap - WINS[c])
         win_start.append(start)
         mx = jnp.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad = (mx - start) >= WIN
+        bad = (mx - start) >= WINS[c]
         bad_c.append(bad)
         loc = f[ks] - start[None, :, None]
         loc = jnp.where(valid[ks], loc, INVALID)

@@ -60,15 +60,21 @@ MTILE = 4  # max output tiles per GEMM: N = MTILE*TILE spreads the matmul
 # over all MXUs (one TILE-wide GEMM is a single chained 128x128 output
 # block); wide-channel kernels drop to 2/1 to fit the 16MB scoped VMEM
 # (see _pick_mtile). Caps are 512-granular so any of 4/2/1 divides ntiles.
-# WIN=384 was tried (25% fewer crossbar passes; spills 2.5-6.4% vs 2-2.9%,
-# scripts/dev_window_stats.py) and measured NET WORSE in the full train
-# step: 2510ms vs 2201ms at bench scale — the larger spill buckets the
-# extra spills force (every conv pays gather+GEMM+scatter over the whole
-# static bucket) exceed the gather savings, and the core itself gained
-# nothing measurable. Keep 512.
-WIN = 512
+# WIN=384 for ALL classes was tried (25% fewer crossbar passes; worst-class
+# spills 2.5-6.4% vs 2-2.9%, scripts/dev_window_stats.py) and measured NET
+# WORSE in the full train step pre-rewrite: the side (dx=+-1) classes'
+# extra spills eat the gather saving.  Per-CLASS spans tell a different
+# story (scripts/dev_class_window_stats.py, bench batch): the dx=0 class
+# has a hard span ceiling — p99 <= 343 rows, 0.00% spill at 384 on every
+# level (its 9 offsets' dy/dz neighbors live within the same x-plane) —
+# while the side classes need the full 512.  So the center class runs a
+# 384-row window (3 groups), cutting 9 of 108 crossbar passes and a third
+# of its DMA for free.
+WIN = 512   # max class window: scratch extent + INVALID sentinel
 NCLASS = 3  # dx = -1 / 0 / +1 window classes
-G = WIN // 128  # 128-row groups per window (one crossbar pass each)
+WINS = (512, 384, 512)      # per-class window rows (dx = -1 / 0 / +1)
+G = WIN // 128  # max 128-row groups per window (one crossbar pass each)
+GS = tuple(w // 128 for w in WINS)  # per-class group counts
 INVALID = WIN  # any local index >= WIN means "missing neighbor"
 
 
@@ -131,10 +137,10 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))          # (ntiles,)
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
-        start = np.minimum((mn // 128) * 128, cap - WIN)
+        start = np.minimum((mn // 128) * 128, cap - WINS[c])
         win_start[:, c] = start
         mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad_c[:, c] = (mx - start) >= WIN
+        bad_c[:, c] = (mx - start) >= WINS[c]
         loc = f[ks] - start[None, :, None]     # class-window-relative
         loc = np.where(valid[ks], loc, INVALID)
         loc = np.where(bad_c[:, c][None, :, None], INVALID, loc)
@@ -155,11 +161,22 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
                       spill_ent=spill_ent, spill_fwd=spill_fwd)
 
 
-def _pick_mtile(K: int, Cg: int, Cl: int, backward: bool) -> int:
+def _pick_mtile(K: int, Cg: int, Cl: int, backward: bool,
+                classes: Optional[Tuple[int, ...]] = None) -> int:
     """Largest MTILE whose kernel fits the scoped-VMEM budget.
 
     Cg: gather-side channels (C fwd / Cout bwd, unpadded even widths);
-    Cl: lane-side channels (Coutp fwd / Cp bwd, 128-padded)."""
+    Cl: lane-side channels (Coutp fwd / Cp bwd, 128-padded).
+
+    The window term deliberately stays at the conservative NCLASS*G groups
+    (not the smaller per-class/per-call sum the kernel actually allocates):
+    the budget's margin terms calibrate Mosaic's opaque scoped-vmem
+    accounting against the committed, chip-validated mt choices, and
+    tightening the window term alone was measured to flip the class-split
+    (384,384) backward call from mt=1 to mt=2 — which overflows scoped
+    VMEM by 48K on v5e.  Keep the mt decisions pinned; the per-class
+    savings are in DMA bytes and crossbar passes, not in mt."""
+    del classes  # see docstring: budget stays call-shape independent
     win = NCLASS * G * (Cg // 2) * 128 * 4
     for mt in (MTILE, 2, 1):
         stack = K * Cg * mt * TILE * 2
@@ -174,21 +191,27 @@ def _pick_mtile(K: int, Cg: int, Cl: int, backward: bool) -> int:
 
 def _load_windows(ws_ref, t, src_hbm, win, sems,
                   classes=tuple(range(NCLASS))):
-    """Start + wait the window DMAs for tile t: each class window is G
+    """Start + wait the window DMAs for tile t: class c's window is GS[c]
     128-row groups of the packed (cap//128, Cg/2, 128) source — a dim-0
     dynamic slice (no alignment constraint; starts are 128-aligned rows).
     ``classes`` selects which dx-class windows to load (a class-split
-    backward call loads only its own); win slot i holds classes[i].
+    backward call loads only its own); the flat (sum GS, Cg/2, 128) win
+    scratch packs class slots back-to-back (slot i at offset
+    sum(GS[classes[:i]])) — per-class window lengths without padding every
+    slot to the max G.
 
     ws_ref is flattened (ntiles*NCLASS,): 2-D scalar-prefetch operands are
     lane-padded to 128 in SMEM and blow the 1MB budget."""
     cps = []
+    off = 0
     for i, c in enumerate(classes):
         gstart = ws_ref[t * NCLASS + c] // 128
+        gc = GS[c]
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(gstart, G)], win.at[i], sems.at[i])
+            src_hbm.at[pl.ds(gstart, gc)], win.at[off:off + gc], sems.at[i])
         cp.start()
         cps.append(cp)
+        off += gc
     for cp in cps:
         cp.wait()
 
@@ -200,18 +223,24 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _gather_stack(lidx_blk, win_ref, k_class, K, C, stack_ref, col: int):
+def _gather_stack(lidx_blk, win_ref, k_class, K, C, stack_ref, col: int,
+                  slot_groups=GS):
     """Crossbar-gather every offset's paired (C/2, TILE) columns from the
     class windows and unpack them into stack_ref rows (evens | odds per
     offset — the caller permutes weight columns to match).
 
     Missing-neighbor validity is folded into the group selects (the
-    INVALID sentinel maps hi outside every group).  Two dynamic-base
-    variants (per-offset 2-group spans, packed scalar bases) were measured
-    SLOWER than this static loop on v5e Mosaic — dynamic lane-slices of
+    INVALID sentinel maps hi outside every group; slot_groups[cls] bounds
+    the loop at each slot's window length; the flat win scratch packs slot
+    cls at group offset sum(slot_groups[:cls])).  Two dynamic-base variants
+    (per-offset 2-group spans, packed scalar bases) were measured SLOWER
+    than this static loop on v5e Mosaic — dynamic lane-slices of
     per-tile-written scratch defeat the scheduler even though they win in
     isolation."""
     Cw = C // 2
+    offs = [0]
+    for g in slot_groups:
+        offs.append(offs[-1] + g)
     for k in range(K):
         ik = lidx_blk[k]                     # (TILE,) int32
         val = ik < INVALID
@@ -220,8 +249,8 @@ def _gather_stack(lidx_blk, win_ref, k_class, K, C, stack_ref, col: int):
         hi = jnp.where(val, ikc // 128, G)   # invalid -> no group matches
         cls = k_class[k]
         acc = jnp.zeros((Cw, TILE), jnp.float32)
-        for g in range(G):
-            part = jnp.take_along_axis(win_ref[cls, g], lo, axis=1)
+        for g in range(slot_groups[cls]):
+            part = jnp.take_along_axis(win_ref[offs[cls] + g], lo, axis=1)
             sel = jnp.broadcast_to((hi == g).reshape(1, TILE), (Cw, TILE))
             acc = jnp.where(sel, part, acc)
         c0, c1 = col * TILE, (col + 1) * TILE
@@ -248,7 +277,8 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
     nwin = len(classes)
     slot = {c: i for i, c in enumerate(classes)}
     local_class = tuple(slot[c] for c in k_class)
-    mt = _pick_mtile(K, C, Coutp, backward=False)
+    slot_groups = tuple(GS[c] for c in classes)
+    mt = _pick_mtile(K, C, Coutp, backward=False, classes=classes)
     assert mt > 0, (K, C, Coutp)
 
     def kernel(ws_ref, lidx_ref, xt_hbm, wT_ref, out_ref, win, stack, sems):
@@ -261,7 +291,7 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
             st = t * mt + j
             _load_windows(ws_ref, st, xt_hbm, win, sems, classes=classes)
             _gather_stack(lidx_ref[j], win, local_class, K, C, stack,
-                          col=j)
+                          col=j, slot_groups=slot_groups)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Coutp, MTILE*TILE) output transpose is cheap
@@ -288,7 +318,7 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
                                        lambda t, ws: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((nwin, G, C // 2, 128), jnp.float32),
+                    pltpu.VMEM((sum(slot_groups), C // 2, 128), jnp.float32),
                     pltpu.VMEM((K * C, mt * TILE), jnp.bfloat16),
                     pltpu.SemaphoreType.DMA((nwin,)),
                 ],
@@ -318,7 +348,8 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
     nwin = len(classes)
     slot = {c: i for i, c in enumerate(classes)}  # winT slot of each offset
     local_class = tuple(slot[c] for c in k_class)
-    mt = _pick_mtile(K, Cout, Cp, backward=True)
+    slot_groups = tuple(GS[c] for c in classes)
+    mt = _pick_mtile(K, Cout, Cp, backward=True, classes=classes)
     assert mt > 0, (K, Cp, Cout)
 
     def kernel(ws_ref, lidx_ref, x_blk, gt_hbm, wflipT_ref, dx_ref,
@@ -333,7 +364,7 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
             st = t * mt + j
             _load_windows(ws_ref, st, gt_hbm, win, sems, classes=classes)
             _gather_stack(lidx_ref[j], win, local_class, K, Cout, stack,
-                          col=j)
+                          col=j, slot_groups=slot_groups)
         # canonical orientations (see fwd kernel note)
         dxT = _dot(wflipT_ref[...], stack[...])
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
@@ -370,7 +401,8 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((nwin, G, Cout // 2, 128), jnp.float32),
+                    pltpu.VMEM((sum(slot_groups), Cout // 2, 128),
+                               jnp.float32),
                     pltpu.VMEM((K * Cout, mt * TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, Cp), jnp.float32),
                     pltpu.SemaphoreType.DMA((nwin,)),
