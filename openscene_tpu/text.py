@@ -134,20 +134,39 @@ def extract_text_features(labelset: Sequence[str], extractor: str = "openseg",
             ("|".join(labels)).encode()).hexdigest()[:10]
         cache = join(cache_dir, f"clip_{tag}_labels_{dim}.npz")
         if exists(cache):
-            return np.load(cache)["embeddings"].astype(np.float32)
+            with np.load(cache, allow_pickle=False) as blob:
+                provenance = str(blob["provenance"]) if "provenance" in blob \
+                    else "unstamped"
+                emb = blob["embeddings"].astype(np.float32)
+            if provenance != "clip":
+                # A pseudo/unstamped cache must never silently stand in for
+                # CLIP space (the reference caches genuine CLIP outputs only,
+                # run/distill.py:283-290).  Refuse in real mode.
+                if not allow_pseudo:
+                    raise RuntimeError(
+                        f"Text-embedding cache {cache} has provenance "
+                        f"'{provenance}', not 'clip'. Refusing to use it for "
+                        "real evaluation: delete it, pass embedding_file=, "
+                        "or set allow_pseudo=True (tests/benchmarks only).")
+                log.warning("Using %s-provenance cached text embeddings from "
+                            "%s (allow_pseudo set) — not CLIP space.",
+                            provenance, cache)
+            return emb
 
     emb = _try_hf_clip(model_name, labels)
-    if emb is None:
-        if not allow_pseudo:
-            raise RuntimeError(
-                "No CLIP text encoder or cached embeddings available; pass "
-                "embedding_file=, pre-populate the cache, or set "
-                "allow_pseudo=True (tests/benchmarks only).")
-        log.warning("Using PSEUDO text embeddings — not CLIP space; only "
-                    "valid for synthetic pipelines.")
-        emb = pseudo_embeddings(labels, dim)
+    if emb is not None:
+        if cache:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(cache, embeddings=emb, labels=np.asarray(labels),
+                     provenance=np.asarray("clip"))
+        return emb
 
-    if cache:
-        os.makedirs(cache_dir, exist_ok=True)
-        np.savez(cache, embeddings=emb, labels=np.asarray(labels))
-    return emb
+    if not allow_pseudo:
+        raise RuntimeError(
+            "No CLIP text encoder or cached embeddings available; pass "
+            "embedding_file=, pre-populate the cache, or set "
+            "allow_pseudo=True (tests/benchmarks only).")
+    log.warning("Using PSEUDO text embeddings — not CLIP space; only "
+                "valid for synthetic pipelines. (Never written to the "
+                "shared cache dir.)")
+    return pseudo_embeddings(labels, dim)
