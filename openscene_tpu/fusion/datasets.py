@@ -8,7 +8,14 @@ Carries the reference's per-dataset constants and camera-selection logic
 | scannet    | 320x240   | 1000        | 0.25      | 10  | every k-th frame |
 | matterport | 640x512   | 4000        | 0.02      | 10  | cameras inside the region bbox (test regions with none: nearest 100) |
 | nuscenes   | 800x450   | (no depth)  | front-z   | 5   | 6 fixed cameras  |
-| replica    | 640x360   | 6553.5      | 0.05      | 10  | every k-th frame, global intrinsics |
+| replica    | 640x360   | 6553.5      | 0.25      | 10  | every k-th frame, global intrinsics |
+
+Save policies (reference {scannet,replica,nuscenes}_openseg.py main()):
+scannet/matterport train = 20k points x 5 random chunk files; replica =
+whole cloud (2M-point cap) x 1 file for every split
+(replica_openseg.py:140-141); nuscenes = ONE whole-scene blob of the
+labeled-points pre-mask composed with visibility
+(nuscenes_openseg.py:44-49,97-102).
 """
 
 from __future__ import annotations
@@ -39,7 +46,10 @@ SPECS = {
     "scannet": FusionSpec((320, 240), 1000.0, 0.25, 10),
     "matterport": FusionSpec((640, 512), 4000.0, 0.02, 10),
     "nuscenes": FusionSpec((800, 450), None, 0.25, 5),
-    "replica": FusionSpec((640, 360), 6553.5, 0.05, 10),
+    # replica_openseg.py:125,140-141: vis 0.25, whole-cloud single-file save
+    "replica": FusionSpec((640, 360), 6553.5, 0.25, 10,
+                          n_split_points=2_000_000,
+                          num_rand_file_per_scene=1),
 }
 
 SCANNET_INTRINSIC = adjust_intrinsic(

@@ -64,8 +64,11 @@ def make_openseg_feature_fn(model_path: str, image_dim, img_dir: str, frames):
 def fuse_dataset(dataset: str, data_root: str, data_root_2d: str,
                  out_dir: str, split: str = "train", feat_dir: str = "",
                  openseg_model: str = "", process_id_range=None,
-                 seed: int = 0):
+                 seed: int = 0, feat_dim: int = 0):
     spec = SPECS[dataset]
+    if feat_dim:  # e.g. 512 for lseg teachers; default = spec (768, openseg)
+        from dataclasses import replace
+        spec = replace(spec, feat_dim=feat_dim)
     scene_paths = list_scenes(data_root, "")
     if not scene_paths:
         scene_paths = list_scenes(os.path.dirname(data_root.rstrip("/")),
@@ -82,10 +85,23 @@ def fuse_dataset(dataset: str, data_root: str, data_root_2d: str,
                                      < process_id_range[1]):
             continue
         sid = scene_name(path, f"{dataset}_3d")
-        if exists(join(out_dir, f"{sid}_{n_files - 1}.npz")):
+        done_marker = (f"{sid}.npz" if dataset == "nuscenes"
+                       else f"{sid}_{n_files - 1}.npz")
+        if exists(join(out_dir, done_marker)):
             print(f"{sid}: exists, skip")
             continue
-        coords, _, _ = load_scene(path)
+        coords, _, labels = load_scene(path)
+
+        mask_entire = None
+        if dataset == "nuscenes":
+            # the reference fuses ONLY points with GT labels and composes
+            # that pre-mask with visibility in the saved mask_full
+            # (nuscenes_openseg.py:44-49,97-102)
+            mask_entire = labels != 255
+            coords = coords[mask_entire]
+            if not mask_entire.any():
+                print(f"{sid}: no labeled points, skip")
+                continue
 
         if dataset == "scannet":
             view_iter = list(scannet_views(join(data_root_2d, sid), spec))
@@ -112,7 +128,19 @@ def fuse_dataset(dataset: str, data_root: str, data_root_2d: str,
             raise SystemExit("need --feat_dir or --openseg_model")
 
         feat_bank, point_ids = fuser.fuse_scene(coords, views, feature_fn)
-        if split == "train":
+        if dataset == "nuscenes":
+            # ONE whole-scene blob; mask_full = labeled-pre-mask AND visible
+            # (nuscenes_openseg.py:97-102)
+            from ..data.scene_io import save_fused_features
+            vis = np.zeros(len(coords), dtype=bool)
+            vis[point_ids] = True
+            mask_full = mask_entire.copy()
+            mask_full[mask_entire] = vis
+            save_fused_features(join(out_dir, f"{sid}.npz"),
+                                feat_bank[vis].astype(np.float16), mask_full)
+        elif split == "train" or dataset == "replica":
+            # replica exports the whole cloud for every split via the same
+            # chunked saver with a 2M-point cap (replica_openseg.py:140-141)
             save_fused_feature(feat_bank, point_ids, len(coords), out_dir,
                                sid, n_files, spec.n_split_points, rng)
         else:
@@ -136,13 +164,14 @@ def main():
     ap.add_argument("--openseg_model", default="")
     ap.add_argument("--process_id_range", default="",
                     help="lo,hi manual sharding")
+    ap.add_argument("--feat_dim", type=int, default=0,
+                    help="override teacher feature dim (512 for lseg)")
     args = ap.parse_args()
-    rng = None
     pir = (tuple(int(v) for v in args.process_id_range.split(","))
            if args.process_id_range else None)
     fuse_dataset(args.dataset, args.data_root, args.data_root_2d,
                  args.out_dir, args.split, args.feat_dir, args.openseg_model,
-                 pir)
+                 pir, feat_dim=args.feat_dim)
 
 
 if __name__ == "__main__":
