@@ -101,6 +101,9 @@ class Config:
     bucket_growth: float = 1.3  # geometric capacity bucket ratio
     min_bucket: int = 4096  # smallest voxel-capacity bucket
     use_native_builder: bool = True  # C++ kernel-map builder (ctypes)
+    region_order: str = ""  # ME kernel-region order for reference-checkpoint
+    # conversion ("x_fastest"/"z_fastest"; "" = x_fastest default). Decide
+    # empirically with scripts/eval_reference_checkpoint.py --probe.
     text_embedding_cache: str = "saved_text_embeddings"
     embedding_file: str = ""  # explicit text-embedding file (.npy/.npz/.pt)
     allow_pseudo_text: bool = False  # hash-seeded pseudo embeddings (tests)
@@ -109,6 +112,14 @@ class Config:
     device_geometry: str = "auto"  # build kernel maps ON DEVICE inside the
     # train step ("auto": on TPU backends; "on"/"off" force) — removes the
     # host plan-builder + plan upload from the batch path entirely
+    grid_dims0: Tuple[int, int, int] = ()  # L0 occupancy-grid extents for
+    # the device geometry prober (sparse/grid.py); () = DEFAULT_DIMS0,
+    # sized for ~15m ScanNet scans at 2cm. Datasets with larger extents
+    # (e.g. outdoor lidar at fine voxels) must raise this or every batch
+    # overflows to the host path.
+    grid_overflow_limit: int = 3  # after this many CONSECUTIVE grid/spill
+    # overflow fallbacks the trainer drops the grid prober (n_scenes=None)
+    # instead of warning forever; 0 = never auto-disable
 
     def copy(self, **updates: Any) -> "Config":
         return dataclasses.replace(self, **updates)

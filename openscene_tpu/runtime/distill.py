@@ -402,6 +402,11 @@ class DistillTrainer:
                                 if dg == "auto" else dg in ("on", "true", "1"))
         self._dg_steps: Dict[Tuple, object] = {}
         self._host_step = None
+        # grid-prober health: after grid_overflow_limit CONSECUTIVE
+        # overflow fallbacks, drop the occupancy-grid prober (n_scenes=None)
+        # rather than paying the host fallback on every batch forever
+        self._grid_enabled = True
+        self._overflow_streak = 0
 
         self.train_data = FusedFeatureLoader(
             datapath_prefix=cfg.data_root,
@@ -498,11 +503,14 @@ class DistillTrainer:
 
     def _raw_step(self, caps: Tuple[int, ...]):
         """Device-geometry train step, cached per static cap signature."""
-        if caps not in self._dg_steps:
-            self._dg_steps[caps] = make_train_step(
+        key = (caps, self._grid_enabled)
+        if key not in self._dg_steps:
+            dims0 = tuple(self.cfg.grid_dims0) or None
+            self._dg_steps[key] = make_train_step(
                 self.cfg, self.opt, mesh=self.mesh, geo_caps=caps,
-                n_scenes=self.per_dev_batch)
-        return self._dg_steps[caps]
+                n_scenes=self.per_dev_batch if self._grid_enabled else None,
+                grid_dims0=dims0)
+        return self._dg_steps[key]
 
     def _host_batch_from_raw(self, raw):
         return host_batch_from_raw(raw)
@@ -612,6 +620,19 @@ class DistillTrainer:
                     # pre-update trees; re-run through the host-geometry path
                     log.warning("device-geometry spill overflow; re-running "
                                 "batch %d via the host builder", i)
+                    self._overflow_streak += 1
+                    limit = self.cfg.grid_overflow_limit
+                    if (limit > 0 and self._grid_enabled
+                            and self._overflow_streak >= limit):
+                        log.warning(
+                            "%d consecutive overflow fallbacks: disabling "
+                            "the occupancy-grid prober (scene extents "
+                            "exceed grid_dims0=%s? raise it in the config)",
+                            self._overflow_streak,
+                            tuple(self.cfg.grid_dims0)
+                            or "default (768,768,256)")
+                        self._grid_enabled = False
+                        self._overflow_streak = 0
                     if self.mesh is not None:
                         hb = self._host_batches_from_raw_sharded(batch)
                         (self.params, self.state, self.opt_state,
@@ -625,6 +646,8 @@ class DistillTrainer:
                         (self.params, self.state, self.opt_state,
                          loss) = self._host_step(self.params, self.state,
                                                  self.opt_state, hb)
+                else:
+                    self._overflow_streak = 0
             else:
                 self.params, self.state, self.opt_state, loss = self.step_fn(
                     self.params, self.state, self.opt_state, batch)

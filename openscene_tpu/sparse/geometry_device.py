@@ -296,6 +296,10 @@ def build_down_edge_device(coords, num, coarse_cap: int
     hi = jnp.where(valid, hi, _KMAX)
     lo = jnp.where(valid, lo, _KMAX)
 
+    # NOTE (r5): per-field >>1 does NOT make the lex parent TUPLE monotone
+    # (child (0,2,9,9) sorts between (0,2,0,0) and (0,3,0,0) but their
+    # parents (0,1,4,4) / (0,1,0,0) invert) — a sort-free variant was tried
+    # and failed the host-parity tests; the 2-key stable sort stays.
     child_idx = jnp.arange(cap, dtype=jnp.int32)
     sh, sl, perm = jax.lax.sort((hi, lo, child_idx), num_keys=2)
     svalid = perm < num
@@ -613,10 +617,11 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
             stem_occ, self3_l0 = gridmod.stem_and_self3_from_grid(
                 grids[0], levels[0].num, stem_kernel)
         else:
-            stem = gridmod.self_plan_from_grid(grids[0], levels[0].num,
-                                               stem_kernel)
-            self3_l0 = gridmod.self_plan_from_grid(grids[0], levels[0].num,
-                                                   3)
+            # fused: both plans share the k=5 dx-plane row gathers (the
+            # same reason the occupancy path fuses via
+            # stem_and_self3_from_grid)
+            stem, self3_l0 = gridmod.stem_plan_and_self3_from_grid(
+                grids[0], levels[0].num, stem_kernel)
         self3 = tuple([self3_l0] + [
             gridmod.self_plan_from_grid(grids[l], levels[l].num, 3)
             for l in range(1, num_levels)])
@@ -643,15 +648,17 @@ def build_geometry_parts(coords, num, caps: Tuple[int, ...],
     wplans = [None] * num_levels
     ewplans = [None] * (num_levels - 1)
     if windows:
-        from .pallas_edge import DWIN, UWIN
+        from .pallas_conv import WPLAN_MIN_CAP
+        from .pallas_edge import DWIN, EWPLAN_MIN_CAP, UWIN
         for l in range(num_levels):
             cap = caps[l]
-            if cap >= WIN and cap % (MTILE * TILE) == 0:
+            if (cap >= max(WIN, WPLAN_MIN_CAP)
+                    and cap % (MTILE * TILE) == 0):
                 wplans[l], ov = build_window_plan_device(
                     self3[l].fwd, levels[l].num, cap)
                 overflow = overflow | ov
         for e in range(num_levels - 1):
-            if (caps[e] >= DWIN and caps[e + 1] >= UWIN
+            if (caps[e] >= max(DWIN, EWPLAN_MIN_CAP) and caps[e + 1] >= UWIN
                     and caps[e] % (4 * TILE) == 0
                     and caps[e + 1] % (4 * TILE) == 0):
                 ewplans[e], ov = build_edge_window_plan_device(

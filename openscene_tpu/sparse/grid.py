@@ -66,8 +66,17 @@ DEFAULT_DIMS0 = (768, 768, 256)
 def dims_for_level(level: int,
                    dims0: Tuple[int, int, int] = DEFAULT_DIMS0
                    ) -> Tuple[int, int, int]:
-    return (max(dims0[0] >> level, 8), max(dims0[1] >> level, 8),
-            max(dims0[2] >> level, 32))
+    """Grid extents for a stride level.
+
+    A coarse extent is floor(max/2^l) - floor(min/2^l) + 1, which can exceed
+    dims0>>l (e.g. min=1, max=dims0 at level 1): the exact bound is
+    ceil((dims0-1)/2^l) + 1, so a scene that fits L0 NEVER spuriously
+    overflows a coarser level."""
+    if level == 0:
+        return dims0
+    q = 1 << level
+    d = tuple(-(-(v - 1) // q) + 1 for v in dims0)
+    return (max(d[0], 8), max(d[1], 8), max(d[2], 32))
 
 
 class LevelGrid(NamedTuple):
@@ -271,3 +280,49 @@ def stem_and_self3_from_grid(g: LevelGrid, num, stem_kernel: int = 5
     plan3 = ConvPlan(fwd=jnp.stack(fwd3),
                      flip_perm=flip_permutation(stencil_offsets(3)))
     return jnp.stack(occ), plan3
+
+
+def stem_plan_and_self3_from_grid(g: LevelGrid, num, stem_kernel: int = 5
+                                  ) -> Tuple[ConvPlan, ConvPlan]:
+    """(k=5 ConvPlan, k=3 ConvPlan) in one pass, for the colored-input stem
+    (input_color=True, where the stem is a real gather conv rather than the
+    occupancy GEMM): the k=3 offsets are the interior of the stem's
+    dx-planes, so both plans share the same 2-per-plane row gathers.
+    Bit-identical to two separate self_plan_from_grid calls (the null rows
+    depend only on (shape, num, cap))."""
+    assert stem_kernel == 5, stem_kernel
+    r5, r3 = 2, 1
+    cap = g.rowbase.shape[0]
+    K5 = (2 * r5 + 1) ** 3
+    K3 = (2 * r3 + 1) ** 3
+    nulls5 = _null_rows((K5, cap), num, cap)
+    nulls3 = _null_rows((K3, cap), num, cap)
+    rows_i = jnp.arange(cap, dtype=jnp.int32)
+    fwd5 = [None] * K5
+    fwd3 = [None] * K3
+    for dx in range(-r5, r5 + 1):
+        inner = abs(dx) <= r3
+        hits = _dx_plane_hits(g, dx, r5, want_rows=True)
+        for dy in range(-r5, r5 + 1):
+            for dz in range(-r5, r5 + 1):
+                k5 = ((dx + r5) * 5 + (dy + r5)) * 5 + (dz + r5)
+                exists, row = hits[(dy, dz)]
+                if dx == 0 and dy == 0 and dz == 0:
+                    fwd5[k5] = jnp.where(g.valid, rows_i, nulls5[k5])
+                else:
+                    fwd5[k5] = jnp.where(g.valid & exists,
+                                         jnp.minimum(row, cap - 1),
+                                         nulls5[k5])
+                if inner and abs(dy) <= r3 and abs(dz) <= r3:
+                    k3 = ((dx + r3) * 3 + (dy + r3)) * 3 + (dz + r3)
+                    if dx == 0 and dy == 0 and dz == 0:
+                        fwd3[k3] = jnp.where(g.valid, rows_i, nulls3[k3])
+                    else:
+                        fwd3[k3] = jnp.where(
+                            g.valid & exists, jnp.minimum(row, cap - 1),
+                            nulls3[k3])
+    plan5 = ConvPlan(fwd=jnp.stack(fwd5),
+                     flip_perm=flip_permutation(stencil_offsets(5)))
+    plan3 = ConvPlan(fwd=jnp.stack(fwd3),
+                     flip_perm=flip_permutation(stencil_offsets(3)))
+    return plan5, plan3

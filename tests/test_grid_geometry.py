@@ -126,3 +126,39 @@ def test_grid_stem_occupancy_in_full_build():
                                   ref_occ)
     np.testing.assert_array_equal(np.asarray(geo.self3[0].fwd),
                                   host.self3[0].fwd)
+
+
+def test_stem_plan_and_self3_fused_matches_separate():
+    """Fused colored-stem variant == two separate self_plan_from_grid calls
+    (ADVICE r4: the non-occupancy stem path re-gathered shared plane rows)."""
+    coords = _scenes()
+    cap = 2048
+    padded, n = _padded(coords, cap)
+    g = gridmod.build_level_grid(jnp.asarray(padded), jnp.int32(n), 3,
+                                 (64, 64, 64))
+    p5, p3 = gridmod.stem_plan_and_self3_from_grid(g, jnp.int32(n), 5)
+    r5 = gridmod.self_plan_from_grid(g, jnp.int32(n), 5)
+    r3 = gridmod.self_plan_from_grid(g, jnp.int32(n), 3)
+    np.testing.assert_array_equal(np.asarray(p5.fwd), np.asarray(r5.fwd))
+    np.testing.assert_array_equal(np.asarray(p3.fwd), np.asarray(r3.fwd))
+    np.testing.assert_array_equal(np.asarray(p5.flip_perm),
+                                  np.asarray(r5.flip_perm))
+    np.testing.assert_array_equal(np.asarray(p3.flip_perm),
+                                  np.asarray(r3.flip_perm))
+
+
+def test_dims_for_level_never_spuriously_overflows():
+    """A scene that exactly fills L0 must fit every coarser level (ADVICE
+    r4: floor(max/2^l)-floor(min/2^l)+1 can exceed dims0>>l)."""
+    dims0 = (64, 64, 64)
+    # extreme bbox: min=1, max=64 -> L1 extent floor(64/2)-floor(1/2)+1 = 33
+    pts = np.array([[0, 1, 1, 1], [0, 64, 64, 64]], np.int32)
+    for level in range(5):
+        d = gridmod.dims_for_level(level, dims0)
+        c = pts.copy()
+        c[:, 1:] >>= level
+        padded, n = _padded(c, 256)
+        g = gridmod.build_level_grid(jnp.asarray(padded), jnp.int32(n), 1, d)
+        assert not bool(g.overflow), (level, d)
+    assert gridmod.dims_for_level(0, dims0) == dims0
+    assert gridmod.dims_for_level(1, dims0) == (33, 33, 33)
