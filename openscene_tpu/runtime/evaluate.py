@@ -15,8 +15,11 @@ engine:
   (run/evaluate.py:263-278,414-425).
 
 Precision note: the reference computes these dot products in fp16; we use
-fp32 on TPU (bf16 MXU passes) — documented numerics delta, well inside the
-mIoU tolerance.
+fp32 on TPU (bf16 MXU passes).  Measured delta at reference scale (768-d
+CLIP-normalized fused features, 120k points, 20 classes —
+tests/test_real_format_artifacts.py::test_fp16_vs_fp32_eval_flip_rate_real_scale):
+argmax flip rate ~0.06%, every flip an fp32 near-tie (margin < 1e-3),
+mIoU delta < 0.005 — well inside the 0.5-mIoU parity budget.
 
 Run: ``python -m openscene_tpu.runtime.evaluate --config <yaml> [key value]*``
 """
@@ -440,8 +443,11 @@ def load_model_for_eval(cfg: Config):
             from ..utils.convert_checkpoint import (convert_state_dict,
                                                     load_torch_checkpoint)
             sd = load_torch_checkpoint(path)
-            params, state = convert_state_dict(sd, cfg.arch_3d)
-            log.info("converted reference checkpoint %s", path)
+            params, state = convert_state_dict(
+                sd, cfg.arch_3d,
+                region_order=cfg.region_order or "x_fastest")
+            log.info("converted reference checkpoint %s (region order %s)",
+                     path, cfg.region_order or "x_fastest")
         else:
             payload = load_checkpoint(path, {"params": params, "state": state})
             params, state = payload["params"], payload["state"]
