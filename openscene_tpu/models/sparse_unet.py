@@ -31,7 +31,8 @@ import numpy as np
 from ..sparse.ops import (masked_batch_norm, relu, sparse_conv,
                           sparse_down_conv, sparse_up_conv, valid_mask)
 from ..sparse.pallas_conv import windowed_sparse_conv
-from ..sparse.pallas_edge import windowed_down_conv, windowed_up_conv
+from ..sparse.pallas_edge import (mixed_up_conv, windowed_down_conv,
+                                  windowed_up_conv)
 from ..sparse.types import UNetGeometry
 
 
@@ -71,8 +72,14 @@ def _edge_down_conv(x, w, plan, ewp):
 
 
 def _edge_up_conv(x, w, plan, ewp):
+    """k=2 s=2 up conv: MIXED path when an edge plan exists — XLA forward
+    (dense parent GEMMs + placement gather) + windowed parent-grid backward;
+    measured faster than both the all-windowed and all-XLA variants
+    (pallas_edge.mixed_up_conv docstring)."""
     if ewp is not None and _even(w):
-        return windowed_up_conv(x, w, *ewp)
+        return mixed_up_conv(x, w, plan.child_parent, plan.child_offset,
+                             ewp.dwin_start, ewp.dlidx, ewp.dspill_ent,
+                             ewp.dspill_fwd)
     return sparse_up_conv(x, w, plan)
 
 

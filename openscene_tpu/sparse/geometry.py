@@ -285,15 +285,17 @@ def build_unet_geometry(coords: np.ndarray, caps: Optional[GeometryCaps] = None,
     wplans: Tuple = (None,) * num_levels
     ewplans: Tuple = (None,) * (num_levels - 1)
     if build_windows:
-        from .pallas_conv import build_window_plan
-        from .pallas_edge import build_edge_window_plan
+        from .pallas_conv import WPLAN_MIN_CAP, build_window_plan
+        from .pallas_edge import EWPLAN_MIN_CAP, build_edge_window_plan
         wplans = tuple(
             build_window_plan(self3[l].fwd, int(levels[l].num), levels[l].cap)
+            if levels[l].cap >= WPLAN_MIN_CAP else None
             for l in range(num_levels))
         ewplans = tuple(
             build_edge_window_plan(downs[e].fwd, downs[e].child_parent,
                                    downs[e].child_offset,
                                    int(levels[e].num), int(levels[e + 1].num))
+            if levels[e].cap >= EWPLAN_MIN_CAP else None
             for e in range(num_levels - 1))
     return UNetGeometry(levels=tuple(levels), stem=stem, self3=self3,
                         down=tuple(downs), wplans=wplans, ewplans=ewplans)

@@ -70,6 +70,13 @@ MTILE = 4  # max output tiles per GEMM: N = MTILE*TILE spreads the matmul
 # while the side classes need the full 512.  So the center class runs a
 # 384-row window (3 groups), cutting 9 of 108 crossbar passes and a third
 # of its DMA for free.
+# Measured windowed-vs-XLA crossover (scripts/dev_bench_ops.py @ bench
+# shapes, r5): the windowed stencil kernels beat the XLA gather path down to
+# L3 caps (28k rows) but tie/lose at L4 (7k rows, 256 ch) where the whole
+# level fits cache-like reuse; edge kernels (pallas_edge) lose below ~200k
+# child rows (E2/E3).  Both builders skip the plans under these caps and the
+# ops fall back to the XLA path.
+WPLAN_MIN_CAP = 10_000
 WIN = 512   # max class window: scratch extent + INVALID sentinel
 NCLASS = 3  # dx = -1 / 0 / +1 window classes
 WINS = (512, 384, 512)      # per-class window rows (dx = -1 / 0 / +1)
@@ -189,6 +196,46 @@ def _pick_mtile(K: int, Cg: int, Cl: int, backward: bool,
     return 0
 
 
+def _db_fits(K: int, Cg: int, Cl: int, backward: bool, mt: int) -> bool:
+    """True when the DOUBLE-buffered window scratch also fits the budget at
+    the already-chosen mt (same margin terms as _pick_mtile; db never
+    changes mt — it only doubles the window term)."""
+    win = NCLASS * G * (Cg // 2) * 128 * 4
+    stack = K * Cg * mt * TILE * 2
+    weights = K * Cg * Cl * 2
+    blocks = mt * TILE * Cl * 2 * 2 * (2 if backward else 1)
+    acc = K * Cg * Cl * 4 if backward else 0
+    return (2 * win + stack + weights + blocks + acc
+            + 3 * 1024 * 1024 < 14_500_000)
+
+
+def _start_windows(ws_ref, st, src_hbm, win, sems,
+                   classes=tuple(range(NCLASS))):
+    """Start (without waiting) the class-window DMAs for sub-tile st into
+    the (already buffer-sliced) win/sems refs."""
+    off = 0
+    for i, c in enumerate(classes):
+        gstart = ws_ref[st * NCLASS + c] // 128
+        gc = GS[c]
+        pltpu.make_async_copy(src_hbm.at[pl.ds(gstart, gc)],
+                              win.at[off:off + gc], sems.at[i]).start()
+        off += gc
+
+
+def _wait_windows(ws_ref, st, src_hbm, win, sems,
+                  classes=tuple(range(NCLASS))):
+    """Wait for the DMAs started by the matching _start_windows call (the
+    copy descriptors are reconstructed from the same scalar-prefetch
+    reads)."""
+    off = 0
+    for i, c in enumerate(classes):
+        gstart = ws_ref[st * NCLASS + c] // 128
+        gc = GS[c]
+        pltpu.make_async_copy(src_hbm.at[pl.ds(gstart, gc)],
+                              win.at[off:off + gc], sems.at[i]).wait()
+        off += gc
+
+
 def _load_windows(ws_ref, t, src_hbm, win, sems,
                   classes=tuple(range(NCLASS))):
     """Start + wait the window DMAs for tile t: class c's window is GS[c]
@@ -221,6 +268,45 @@ def _dot(a, b):
         a, b = a.astype(jnp.float32), b.astype(jnp.float32)
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+
+def _windows_pipeline(ws_ref, t, src_hbm, win, sems, classes, mt: int,
+                      db: bool, gather_j):
+    """Per-sub-tile window DMA + crossbar gathers.
+
+    db=False: the committed serial pattern (load j, gather j).
+    db=True (mt even, scratch doubled): sub-tile j+1's window DMA is
+    started BEFORE waiting on j's, overlapping HBM traffic with j's
+    crossbar gathers; the next grid step's first DMA is started before the
+    last gather so it also overlaps the tile's closing GEMM.  Buffer
+    parity is j%2 (static: mt is even, so t*mt+j keeps j's parity), and a
+    slot is always re-written only after its previous gather completed in
+    program order."""
+    if not db:
+        for j in range(mt):
+            _load_windows(ws_ref, t * mt + j, src_hbm, win, sems,
+                          classes=classes)
+            gather_j(j, win)
+        return
+
+    @pl.when(t == 0)
+    def _():
+        _start_windows(ws_ref, 0, src_hbm, win.at[0], sems.at[0], classes)
+
+    for j in range(mt):
+        st = t * mt + j
+        buf = j % 2
+        if j + 1 < mt:
+            _start_windows(ws_ref, st + 1, src_hbm, win.at[(j + 1) % 2],
+                           sems.at[(j + 1) % 2], classes)
+        else:
+            @pl.when(t + 1 < pl.num_programs(0))
+            def _():
+                _start_windows(ws_ref, (t + 1) * mt, src_hbm, win.at[0],
+                               sems.at[0], classes)
+        _wait_windows(ws_ref, st, src_hbm, win.at[buf], sems.at[buf],
+                      classes)
+        gather_j(j, win.at[buf])
 
 
 def _gather_stack(lidx_blk, win_ref, k_class, K, C, stack_ref, col: int,
@@ -280,18 +366,21 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
     slot_groups = tuple(GS[c] for c in classes)
     mt = _pick_mtile(K, C, Coutp, backward=False, classes=classes)
     assert mt > 0, (K, C, Coutp)
+    db = mt >= 2 and _db_fits(K, C, Coutp, backward=False, mt=mt)
 
     def kernel(ws_ref, lidx_ref, xt_hbm, wT_ref, out_ref, win, stack, sems):
         t = pl.program_id(0)
+
         # gather mt output tiles into one (K*C, mt*TILE) stack: a
         # TILE-wide GEMM is ONE 128x128 output block = one MXU chained over
         # K*C/128 MACs; 4 N-blocks keep all MXUs busy (measured: the GEMM
         # was ~50% of the forward at M=N=128)
-        for j in range(mt):
-            st = t * mt + j
-            _load_windows(ws_ref, st, xt_hbm, win, sems, classes=classes)
-            _gather_stack(lidx_ref[j], win, local_class, K, C, stack,
+        def gather_j(j, wref):
+            _gather_stack(lidx_ref[j], wref, local_class, K, C, stack,
                           col=j, slot_groups=slot_groups)
+
+        _windows_pipeline(ws_ref, t, xt_hbm, win, sems, classes, mt, db,
+                          gather_j)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Coutp, MTILE*TILE) output transpose is cheap
@@ -318,9 +407,11 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
                                        lambda t, ws: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
+                    pltpu.VMEM((2, sum(slot_groups), C // 2, 128),
+                               jnp.float32) if db else
                     pltpu.VMEM((sum(slot_groups), C // 2, 128), jnp.float32),
                     pltpu.VMEM((K * C, mt * TILE), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA((nwin,)),
+                    pltpu.SemaphoreType.DMA((2, nwin) if db else (nwin,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((cap, Coutp), jnp.bfloat16),
@@ -351,6 +442,7 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
     slot_groups = tuple(GS[c] for c in classes)
     mt = _pick_mtile(K, Cout, Cp, backward=True, classes=classes)
     assert mt > 0, (K, Cp, Cout)
+    db = mt >= 2 and _db_fits(K, Cout, Cp, backward=True, mt=mt)
 
     def kernel(ws_ref, lidx_ref, x_blk, gt_hbm, wflipT_ref, dx_ref,
                dw_ref, win, stack, acc, sems):
@@ -360,11 +452,12 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        for j in range(mt):
-            st = t * mt + j
-            _load_windows(ws_ref, st, gt_hbm, win, sems, classes=classes)
-            _gather_stack(lidx_ref[j], win, local_class, K, Cout, stack,
+        def gather_j(j, wref):
+            _gather_stack(lidx_ref[j], wref, local_class, K, Cout, stack,
                           col=j, slot_groups=slot_groups)
+
+        _windows_pipeline(ws_ref, t, gt_hbm, win, sems, classes, mt, db,
+                          gather_j)
         # canonical orientations (see fwd kernel note)
         dxT = _dot(wflipT_ref[...], stack[...])
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
@@ -401,11 +494,13 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
+                    pltpu.VMEM((2, sum(slot_groups), Cout // 2, 128),
+                               jnp.float32) if db else
                     pltpu.VMEM((sum(slot_groups), Cout // 2, 128),
                                jnp.float32),
                     pltpu.VMEM((K * Cout, mt * TILE), jnp.bfloat16),
                     pltpu.VMEM((K * Cout, Cp), jnp.float32),
-                    pltpu.SemaphoreType.DMA((nwin,)),
+                    pltpu.SemaphoreType.DMA((2, nwin) if db else (nwin,)),
                 ],
             ),
             out_shape=[

@@ -45,6 +45,11 @@ from . import pallas_conv
 from .pallas_conv import TILE, _bucket64, _dot, _pack_t, _pad128, _pair_perm
 
 KD = 8          # offsets of the k=2 s=2 stencil
+# Below ~200k child rows the XLA gather path beats the windowed edge
+# kernels (measured scripts/dev_bench_ops.py r5: E2 at 137k and E3 at 28k
+# children tie or lose); both geometry builders skip edge window plans
+# under this cap.
+EWPLAN_MIN_CAP = 200_000
 DWIN = 1024     # child-row window per (parent tile, offset)
 DG = DWIN // 128
 INVALID_D = DWIN
@@ -198,6 +203,111 @@ def _unpack_pairs(acc):
     return v_even, v_odd
 
 
+def _db_fits_d(nk: int, Cg: int, Cl: int, backward: bool, mt: int) -> bool:
+    """Double-buffered down-window scratch fits the budget at this mt
+    (mirrors pallas_conv._db_fits; db never changes mt)."""
+    win = nk * DG * (Cg // 2) * 128 * 4
+    stack = nk * Cg * mt * TILE * 2
+    weights = nk * Cg * Cl * 2
+    blocks = mt * TILE * Cl * 2 * 2 * (2 if backward else 1)
+    acc = nk * Cg * Cl * 4 if backward else 0
+    return (2 * win + stack + weights + blocks + acc
+            + 3 * 1024 * 1024 < 14_500_000)
+
+
+def _db_fits_u(Cg: int, Cl: int, backward: bool, mt: int) -> bool:
+    win = UG * (Cg // 2) * 128 * 4
+    stack = KD * Cg * mt * TILE * 2
+    weights = KD * Cg * Cl * 2
+    blocks = mt * TILE * Cl * 2 * 2 * (2 if backward else 1)
+    acc = KD * Cg * Cl * 4 if backward else 0
+    return (2 * win + stack + weights + blocks + acc
+            + 3 * 1024 * 1024 < 14_500_000)
+
+
+def _start_d(ws_ref, st, src, win, sems, offsets):
+    for i, k in enumerate(offsets):
+        gstart = ws_ref[st * KD + k] // 128
+        pltpu.make_async_copy(src.at[pl.ds(gstart, DG)], win.at[i],
+                              sems.at[i]).start()
+
+
+def _wait_d(ws_ref, st, src, win, sems, offsets):
+    for i, k in enumerate(offsets):
+        gstart = ws_ref[st * KD + k] // 128
+        pltpu.make_async_copy(src.at[pl.ds(gstart, DG)], win.at[i],
+                              sems.at[i]).wait()
+
+
+def _d_pipeline(ws_ref, t, src, win, sems, offsets, mt: int, db: bool,
+                gather_j):
+    """Down-side per-sub-tile window DMA + gathers; db=True overlaps
+    sub-tile j+1's 8 window DMAs with j's gathers and the next grid step's
+    first DMA with the closing GEMM (same scheme and safety argument as
+    pallas_conv._windows_pipeline; buffer parity j%2 is static for even
+    mt)."""
+    if not db:
+        for j in range(mt):
+            st = t * mt + j
+            _start_d(ws_ref, st, src, win, sems, offsets)
+            _wait_d(ws_ref, st, src, win, sems, offsets)
+            gather_j(j, win)
+        return
+
+    @pl.when(t == 0)
+    def _():
+        _start_d(ws_ref, 0, src, win.at[0], sems.at[0], offsets)
+
+    for j in range(mt):
+        st = t * mt + j
+        buf = j % 2
+        if j + 1 < mt:
+            _start_d(ws_ref, st + 1, src, win.at[(j + 1) % 2],
+                     sems.at[(j + 1) % 2], offsets)
+        else:
+            @pl.when(t + 1 < pl.num_programs(0))
+            def _():
+                _start_d(ws_ref, (t + 1) * mt, src, win.at[0], sems.at[0],
+                         offsets)
+        _wait_d(ws_ref, st, src, win.at[buf], sems.at[buf], offsets)
+        gather_j(j, win.at[buf])
+
+
+def _u_pipeline(ws_ref, t, src, win, sems, mt: int, db: bool, gather_j):
+    """Up-side (one UWIN window per sub-tile) variant of _d_pipeline."""
+    def start(st, w, s):
+        gstart = ws_ref[st] // 128
+        pltpu.make_async_copy(src.at[pl.ds(gstart, UG)], w, s).start()
+
+    def wait(st, w, s):
+        gstart = ws_ref[st] // 128
+        pltpu.make_async_copy(src.at[pl.ds(gstart, UG)], w, s).wait()
+
+    if not db:
+        for j in range(mt):
+            st = t * mt + j
+            start(st, win, sems)
+            wait(st, win, sems)
+            gather_j(j, win)
+        return
+
+    @pl.when(t == 0)
+    def _():
+        start(0, win.at[0], sems.at[0])
+
+    for j in range(mt):
+        st = t * mt + j
+        buf = j % 2
+        if j + 1 < mt:
+            start(st + 1, win.at[(j + 1) % 2], sems.at[(j + 1) % 2])
+        else:
+            @pl.when(t + 1 < pl.num_programs(0))
+            def _():
+                start((t + 1) * mt, win.at[0], sems.at[0])
+        wait(st, win.at[buf], sems.at[buf])
+        gather_j(j, win.at[buf])
+
+
 def make_down_kernel(C: int, Coutp: int,
                      offsets: Optional[Tuple[int, ...]] = None):
     """Down-side forward: out[p] = sum_k x_child[fwd[k, p]] @ w[k].
@@ -210,26 +320,21 @@ def make_down_kernel(C: int, Coutp: int,
     Cw = C // 2
     mt = _pick_mtile_d(nk, C, Coutp, backward=False)
     assert mt > 0, (C, Coutp, offsets)
+    db = mt >= 2 and _db_fits_d(nk, C, Coutp, backward=False, mt=mt)
 
     def kernel(ws_ref, dlidx_ref, xt_hbm, wT_ref, out_ref, win, stack, sems):
         t = pl.program_id(0)
-        for j in range(mt):
-            st = t * mt + j
-            cps = []
-            for i, k in enumerate(offsets):
-                gstart = ws_ref[st * KD + k] // 128
-                cp = pltpu.make_async_copy(
-                    xt_hbm.at[pl.ds(gstart, DG)], win.at[i], sems.at[i])
-                cp.start()
-                cps.append(cp)
-            for cp in cps:
-                cp.wait()
+
+        def gather_j(j, wref):
             for i in range(nk):
-                acc = _gather_one(win[i], dlidx_ref[j, i], INVALID_D, DG, Cw)
+                acc = _gather_one(wref[i], dlidx_ref[j, i], INVALID_D, DG,
+                                  Cw)
                 v_even, v_odd = _unpack_pairs(acc)
                 c0, c1 = j * TILE, (j + 1) * TILE
                 stack[i*C:i*C + Cw, c0:c1] = v_even.astype(jnp.bfloat16)
                 stack[i*C + Cw:(i+1)*C, c0:c1] = v_odd.astype(jnp.bfloat16)
+
+        _d_pipeline(ws_ref, t, xt_hbm, win, sems, offsets, mt, db, gather_j)
         o = _dot(wT_ref[...], stack[...])
         out_ref[...] = o.T.astype(jnp.bfloat16)
 
@@ -252,9 +357,10 @@ def make_down_kernel(C: int, Coutp: int,
                                        lambda t, ws: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
+                    pltpu.VMEM((2, nk, DG, Cw, 128), jnp.float32) if db else
                     pltpu.VMEM((nk, DG, Cw, 128), jnp.float32),
                     pltpu.VMEM((nk * C, mt * TILE), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA((nk,)),
+                    pltpu.SemaphoreType.DMA((2, nk) if db else (nk,)),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((cap, Coutp), jnp.bfloat16),
@@ -275,6 +381,7 @@ def make_down_bwd_kernel(Cp: int, Cout: int,
     Cow = Cout // 2
     mt = _pick_mtile_d(nk, Cout, Cp, backward=True)
     assert mt > 0, (Cp, Cout, offsets)
+    db = mt >= 2 and _db_fits_d(nk, Cout, Cp, backward=True, mt=mt)
 
     def kernel(ws_ref, dlidx_ref, x_blk, gt_hbm, wT_ref, dx_ref, dw_ref,
                win, stack, acc, sems):
@@ -284,25 +391,17 @@ def make_down_bwd_kernel(Cp: int, Cout: int,
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        for j in range(mt):
-            st = t * mt + j
-            cps = []
-            for i, k in enumerate(offsets):
-                gstart = ws_ref[st * KD + k] // 128
-                cp = pltpu.make_async_copy(
-                    gt_hbm.at[pl.ds(gstart, DG)], win.at[i], sems.at[i])
-                cp.start()
-                cps.append(cp)
-            for cp in cps:
-                cp.wait()
+        def gather_j(j, wref):
             for i in range(nk):
-                a = _gather_one(win[i], dlidx_ref[j, i], INVALID_D, DG, Cow)
+                a = _gather_one(wref[i], dlidx_ref[j, i], INVALID_D, DG, Cow)
                 v_even, v_odd = _unpack_pairs(a)
                 c0, c1 = j * TILE, (j + 1) * TILE
                 stack[i*Cout:i*Cout + Cow, c0:c1] = \
                     v_even.astype(jnp.bfloat16)
                 stack[i*Cout + Cow:(i+1)*Cout, c0:c1] = \
                     v_odd.astype(jnp.bfloat16)
+
+        _d_pipeline(ws_ref, t, gt_hbm, win, sems, offsets, mt, db, gather_j)
         dxT = _dot(wT_ref[...], stack[...])
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
         acc[...] += _dot(stack[...], x_blk[...])
@@ -334,10 +433,11 @@ def make_down_bwd_kernel(Cp: int, Cout: int,
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
+                    pltpu.VMEM((2, nk, DG, Cow, 128), jnp.float32) if db else
                     pltpu.VMEM((nk, DG, Cow, 128), jnp.float32),
                     pltpu.VMEM((nk * Cout, mt * TILE), jnp.bfloat16),
                     pltpu.VMEM((nk * Cout, Cp), jnp.float32),
-                    pltpu.SemaphoreType.DMA((nk,)),
+                    pltpu.SemaphoreType.DMA((2, nk) if db else (nk,)),
                 ],
             ),
             out_shape=[
@@ -357,18 +457,14 @@ def make_up_kernel(C: int, Coutp: int):
     Cw = C // 2
     mt = _pick_mtile_u(C, Coutp, backward=False)
     assert mt > 0, (C, Coutp)
+    db = mt >= 2 and _db_fits_u(C, Coutp, backward=False, mt=mt)
 
     def kernel(ws_ref, ulidx_ref, uoff_ref, xt_hbm, wT_ref, out_ref,
                win, stack, sems):
         t = pl.program_id(0)
-        for j in range(mt):
-            st = t * mt + j
-            gstart = ws_ref[st] // 128
-            cp = pltpu.make_async_copy(
-                xt_hbm.at[pl.ds(gstart, UG)], win, sems)
-            cp.start()
-            cp.wait()
-            a = _gather_one(win, ulidx_ref[0, j], INVALID_U, UG, Cw)
+
+        def gather_j(j, wref):
+            a = _gather_one(wref, ulidx_ref[0, j], INVALID_U, UG, Cw)
             v_even, v_odd = _unpack_pairs(a)
             off = uoff_ref[0, j]
             c0, c1 = j * TILE, (j + 1) * TILE
@@ -379,6 +475,8 @@ def make_up_kernel(C: int, Coutp: int):
                 zo = jnp.where(sel, v_odd, 0.0)
                 stack[k*C:k*C + Cw, c0:c1] = ze.astype(jnp.bfloat16)
                 stack[k*C + Cw:(k+1)*C, c0:c1] = zo.astype(jnp.bfloat16)
+
+        _u_pipeline(ws_ref, t, xt_hbm, win, sems, mt, db, gather_j)
         o = _dot(wT_ref[...], stack[...])
         out_ref[...] = o.T.astype(jnp.bfloat16)
 
@@ -406,9 +504,10 @@ def make_up_kernel(C: int, Coutp: int):
                                        lambda t, ws: (t, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
+                    pltpu.VMEM((2, UG, Cw, 128), jnp.float32) if db else
                     pltpu.VMEM((UG, Cw, 128), jnp.float32),
                     pltpu.VMEM((KD * C, mt * TILE), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA((2,) if db else ()),
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((cap, Coutp), jnp.bfloat16),
@@ -426,6 +525,7 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
     Cow = Cout // 2
     mt = _pick_mtile_u(Cout, Cp, backward=True)
     assert mt > 0, (Cp, Cout)
+    db = mt >= 2 and _db_fits_u(Cout, Cp, backward=True, mt=mt)
 
     def kernel(ws_ref, ulidx_ref, uoff_ref, x_blk, gt_hbm, wT_ref,
                dx_ref, dw_ref, win, stack, acc, sems):
@@ -435,14 +535,8 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        for j in range(mt):
-            st = t * mt + j
-            gstart = ws_ref[st] // 128
-            cp = pltpu.make_async_copy(
-                gt_hbm.at[pl.ds(gstart, UG)], win, sems)
-            cp.start()
-            cp.wait()
-            a = _gather_one(win, ulidx_ref[0, j], INVALID_U, UG, Cow)
+        def gather_j(j, wref):
+            a = _gather_one(wref, ulidx_ref[0, j], INVALID_U, UG, Cow)
             v_even, v_odd = _unpack_pairs(a)
             off = uoff_ref[0, j]
             c0, c1 = j * TILE, (j + 1) * TILE
@@ -454,6 +548,8 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
                 stack[k*Cout:k*Cout + Cow, c0:c1] = ze.astype(jnp.bfloat16)
                 stack[k*Cout + Cow:(k+1)*Cout, c0:c1] = \
                     zo.astype(jnp.bfloat16)
+
+        _u_pipeline(ws_ref, t, gt_hbm, win, sems, mt, db, gather_j)
         dxT = _dot(wT_ref[...], stack[...])
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
         acc[...] += _dot(stack[...], x_blk[...])
@@ -488,10 +584,11 @@ def make_up_bwd_kernel(Cp: int, Cout: int):
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
+                    pltpu.VMEM((2, UG, Cow, 128), jnp.float32) if db else
                     pltpu.VMEM((UG, Cow, 128), jnp.float32),
                     pltpu.VMEM((KD * Cout, mt * TILE), jnp.bfloat16),
                     pltpu.VMEM((KD * Cout, Cp), jnp.float32),
-                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA((2,) if db else ()),
                 ],
             ),
             out_shape=[
@@ -695,6 +792,12 @@ def _up_conv_fwd(x, w, *plan):
 def _up_conv_bwd(res, g):
     (x, w, dwin_start, dlidx, dspill_ent, dspill_fwd, uwin_start, ulidx,
      uoff, uspill_tile, uspill_parent, uspill_off) = res
+    dx, dw = _up_bwd_core(x, w, g, dwin_start, dlidx, dspill_ent,
+                          dspill_fwd)
+    return (dx, dw) + (None,) * 10
+
+
+def _up_bwd_core(x, w, g, dwin_start, dlidx, dspill_ent, dspill_fwd):
     K, C, Cout = w.shape
     Cp = _pad128(C)
     gb = g.astype(jnp.bfloat16)                              # (child, Cout)
@@ -733,7 +836,48 @@ def _up_conv_bwd(res, g):
     dw_sp = jnp.einsum("knc,nd->kcd", xm, G,
                        preferred_element_type=jnp.float32)
     dw = dw + dw_sp
-    return (dx.astype(x.dtype), dw.astype(w.dtype)) + (None,) * 10
+    return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
 windowed_up_conv.defvjp(_up_conv_fwd, _up_conv_bwd)
+
+
+@jax.custom_vjp
+def mixed_up_conv(x, w, child_parent, child_offset, dwin_start, dlidx,
+                  dspill_ent, dspill_fwd):
+    """k=2 s=2 transposed (up) conv with a MIXED path: XLA forward +
+    windowed backward.
+
+    Forward = dense per-offset GEMMs on the (small) parent level + ONE
+    placement gather (sparse/ops.py:sparse_up_conv formulation) — measured
+    faster than the masked-stack windowed up kernel at every bench edge
+    (E0: 11.6ms vs 23.3ms, scripts/dev_bench_ops.py r5; each child row uses
+    exactly one of the 8 offset weights, so the windowed kernel's
+    offset-masked stack wastes 8x GEMM volume and VPU writes).
+    Backward = the parent-grid windowed kernel (make_down_bwd_kernel: dx +
+    dW from one child-cotangent gather) — measured up to 4.8x faster than
+    the XLA scatter backward at E0.  Semantics identical to
+    sparse/ops.py:sparse_up_conv."""
+    from .ops import _take_rows
+    cdtype = x.dtype
+    y = jnp.einsum("pc,kcd->kpd", x, w.astype(cdtype),
+                   preferred_element_type=jnp.float32).astype(cdtype)
+    parent_cap = x.shape[0]
+    flat_idx = child_offset * parent_cap + child_parent
+    return _take_rows(y.reshape(-1, w.shape[-1]), flat_idx)
+
+
+def _mixed_up_fwd(x, w, *rest):
+    return mixed_up_conv(x, w, *rest), (x, w) + rest
+
+
+def _mixed_up_bwd(res, g):
+    (x, w, child_parent, child_offset, dwin_start, dlidx, dspill_ent,
+     dspill_fwd) = res
+    # identical math to _up_conv_bwd (the up-plan operands there are unused
+    # by the backward); kept in one place:
+    dx, dw = _up_bwd_core(x, w, g, dwin_start, dlidx, dspill_ent, dspill_fwd)
+    return (dx, dw) + (None,) * 6
+
+
+mixed_up_conv.defvjp(_mixed_up_fwd, _mixed_up_bwd)

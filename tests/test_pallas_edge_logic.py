@@ -148,3 +148,42 @@ def test_windowed_up_conv_logic(edge_fixture, C, Cout):
     assert not gx1[parent_num:].any()
     gw1, gw0 = np.asarray(gw1), np.asarray(gw0)
     assert np.abs(gw1 - gw0).max() / np.abs(gw0).max() < 5e-3
+
+
+@pytest.mark.parametrize("C,Cout", [(32, 32), (96, 64)])
+def test_mixed_up_conv_logic(edge_fixture, C, Cout):
+    """mixed_up_conv (XLA fwd + windowed parent-grid bwd) == sparse_up_conv
+    in both directions."""
+    from openscene_tpu.sparse.pallas_edge import mixed_up_conv
+    dplan, ewp, child_cap, child_num, parent_cap, parent_num = edge_fixture
+    rng = np.random.default_rng(4)
+    x = np.zeros((parent_cap, C), np.float32)
+    x[:parent_num] = rng.standard_normal((parent_num, C))
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.standard_normal((8, C, Cout)) * 0.2
+                     ).astype(np.float32))
+    dplan_j = jax.tree_util.tree_map(jnp.asarray, dplan)
+    margs = (dplan_j.child_parent, dplan_j.child_offset,
+             jnp.asarray(ewp.dwin_start), jnp.asarray(ewp.dlidx),
+             jnp.asarray(ewp.dspill_ent), jnp.asarray(ewp.dspill_fwd))
+
+    out = np.asarray(mixed_up_conv(xb, w, *margs), np.float32)
+    ref = np.asarray(sparse_up_conv(xb, w, dplan_j), np.float32)
+    # identical forward formulation -> bit-equal
+    np.testing.assert_array_equal(out, ref)
+
+    tgt = jnp.asarray(rng.standard_normal((child_cap, Cout)).astype(
+        np.float32) * (np.arange(child_cap) < child_num)[:, None])
+    gx1, gw1 = jax.grad(
+        lambda x_, w_: jnp.sum(
+            (mixed_up_conv(x_, w_, *margs).astype(jnp.float32)
+             - tgt) ** 2), (0, 1))(xb, w)
+    gx0, gw0 = jax.grad(
+        lambda x_, w_: jnp.sum(
+            (sparse_up_conv(x_, w_, dplan_j).astype(jnp.float32)
+             - tgt) ** 2), (0, 1))(xb, w)
+    gx1, gx0 = np.asarray(gx1, np.float32), np.asarray(gx0, np.float32)
+    assert np.abs(gx1 - gx0).max() / np.abs(gx0).max() < 2e-2
+    assert not gx1[parent_num:].any()
+    gw1, gw0 = np.asarray(gw1), np.asarray(gw0)
+    assert np.abs(gw1 - gw0).max() / np.abs(gw0).max() < 5e-3
