@@ -87,7 +87,18 @@ def build_batch(n_scenes=8, dim=768, voxel=0.02, density=2200.0):
                                   shift=False)
 
 
-_RAW_CACHE_VERSION = 3  # bump when build_samples/assembly semantics change
+_RAW_CACHE_VERSION = 4  # bump when build_samples/assembly semantics change
+
+
+def _tight_caps(counts):
+    """Exact 512-granular per-level caps (+1 null row) for the fixed bench
+    batch: the trainer's geometric bucket ladder (sparse/geometry._bucket)
+    exists to bound recompiles across varying batches, but the bench batch
+    is one known shape — the ladder was padding L1/L2 by 19-26% and the
+    step wasted that compute (512 = 4*TILE, the kernels' tile-batch
+    granularity; also satisfies the >= WIN and %512 window/edge plan
+    constraints)."""
+    return tuple(max(512, -(-(int(c) + 1) // 512) * 512) for c in counts)
 
 
 def build_raw_cached():
@@ -114,6 +125,21 @@ def build_raw_cached():
     samples = build_samples()
     raw, caps = assemble_raw_distill_batch(
         samples, 768, rng=np.random.default_rng(0), shift=False)
+    # re-pad to exact tight caps (see _tight_caps)
+    from openscene_tpu.sparse.geometry import level_counts
+    tight = _tight_caps(level_counts(raw.coords[:int(raw.num)]))
+    if tight != caps.fixed:
+        cap0 = tight[0]
+        def refit(a, fill=0.0):
+            if a.shape[0] >= cap0:
+                return a[:cap0]
+            width = [(0, cap0 - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width, constant_values=fill)
+        raw = RawDistillBatch(
+            coords=refit(raw.coords, 2 ** 20), num=raw.num,
+            feats=refit(raw.feats), feat_3d=refit(raw.feat_3d),
+            mask=refit(raw.mask), labels=refit(raw.labels, 255))
+        caps = GeometryCaps(cap0=cap0, fixed=tight)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp.npz"  # savez keeps names already ending in .npz
     feat16 = raw.feat_3d.astype(np.float16)

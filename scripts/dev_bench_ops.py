@@ -83,7 +83,7 @@ def main():
     @jax.jit
     def build(coords, n):
         geo, ov = build_geometry_parts(coords, n, caps_t, windows=True,
-                                       stem_occupancy=True)
+                                       stem_occupancy=True, n_scenes=8)
         return geo, ov
 
     t0 = time.time()
