@@ -355,11 +355,12 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
     (scripts/dev_window_stats); the ~4.2%-of-ntiles default gives ~1.5x
     headroom, overflow -> trainer re-runs the batch via the host path.
     """
-    from .pallas_conv import (INVALID, MTILE, NCLASS, TILE, WIN, WINS,
-                              WindowPlan)
+    from .pallas_conv import (INVALID, MTILE, NCLASS, TILE, WIN,
+                              WindowPlan, wins_for_cap)
 
     K = fwd.shape[0]
     assert cap >= WIN and cap % (MTILE * TILE) == 0, (cap, WIN, TILE)
+    wins = wins_for_cap(cap)  # cap-keyed: matches the conv op's choice
     offsets = stencil_offsets(kernel_size)
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
     KC = K // NCLASS
@@ -381,10 +382,10 @@ def build_window_plan_device(fwd, num, cap: int, kernel_size: int = 3,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))
         mn = jnp.where(mn == imax, 0, mn)
-        start = jnp.minimum((mn // 128) * 128, cap - WINS[c])
+        start = jnp.minimum((mn // 128) * 128, cap - wins[c])
         win_start.append(start)
         mx = jnp.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad = (mx - start) >= WINS[c]
+        bad = (mx - start) >= wins[c]
         bad_c.append(bad)
         loc = f[ks] - start[None, :, None]
         loc = jnp.where(valid[ks], loc, INVALID)

@@ -83,6 +83,22 @@ WINS = (512, 384, 512)      # per-class window rows (dx = -1 / 0 / +1)
 G = WIN // 128  # max 128-row groups per window (one crossbar pass each)
 GS = tuple(w // 128 for w in WINS)  # per-class group counts
 INVALID = WIN  # any local index >= WIN means "missing neighbor"
+# Cap-keyed per-level windows: at L0 scale the side (dx=±1) classes fit a
+# 384-row window nearly as often as 512 (measured bench-batch spill 1.4%
+# vs 1.3% per side class; total entries 2.8% of ntiles — still inside the
+# device builder's fixed 4.2% cap), and the narrow window cuts one
+# crossbar pass per side offset (27x4+... -> 27x3 group passes, -18%) and
+# a quarter of the window DMA.  Smaller levels keep (512,384,512): their
+# side spill at 384 (2.5-3.9% per class) would overflow the fixed device
+# spill caps.  Both plan builders and the conv op derive the choice from
+# the SAME static level cap, so plans and kernels always agree.
+WINS_NARROW = (384, 384, 384)
+NARROW_MIN_CAP = 600_000
+
+
+def wins_for_cap(cap: int) -> Tuple[int, ...]:
+    """Per-class window rows for a level of the given (static) cap."""
+    return WINS_NARROW if cap >= NARROW_MIN_CAP else WINS
 
 
 class WindowPlan(NamedTuple):
@@ -128,6 +144,7 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
     K = fwd.shape[0]
     if cap < WIN or cap % (MTILE * TILE) != 0:
         return None
+    wins = wins_for_cap(cap)
     offsets = stencil_offsets(kernel_size)
     k_class = (offsets[:, 0] - offsets[:, 0].min()).astype(np.int32)
     if k_class.max() >= NCLASS:
@@ -144,10 +161,10 @@ def build_window_plan(fwd: np.ndarray, num: int, cap: int,
         ks = np.flatnonzero(k_class == c)
         mn = big[ks].min(axis=(0, 2))          # (ntiles,)
         mn = np.where(mn == np.iinfo(np.int32).max, 0, mn)
-        start = np.minimum((mn // 128) * 128, cap - WINS[c])
+        start = np.minimum((mn // 128) * 128, cap - wins[c])
         win_start[:, c] = start
         mx = np.where(valid[ks], f[ks], -1).max(axis=(0, 2))
-        bad_c[:, c] = (mx - start) >= WINS[c]
+        bad_c[:, c] = (mx - start) >= wins[c]
         loc = f[ks] - start[None, :, None]     # class-window-relative
         loc = np.where(valid[ks], loc, INVALID)
         loc = np.where(bad_c[:, c][None, :, None], INVALID, loc)
@@ -210,34 +227,34 @@ def _db_fits(K: int, Cg: int, Cl: int, backward: bool, mt: int) -> bool:
 
 
 def _start_windows(ws_ref, st, src_hbm, win, sems,
-                   classes=tuple(range(NCLASS))):
+                   classes=tuple(range(NCLASS)), groups=GS):
     """Start (without waiting) the class-window DMAs for sub-tile st into
     the (already buffer-sliced) win/sems refs."""
     off = 0
     for i, c in enumerate(classes):
         gstart = ws_ref[st * NCLASS + c] // 128
-        gc = GS[c]
+        gc = groups[c]
         pltpu.make_async_copy(src_hbm.at[pl.ds(gstart, gc)],
                               win.at[off:off + gc], sems.at[i]).start()
         off += gc
 
 
 def _wait_windows(ws_ref, st, src_hbm, win, sems,
-                  classes=tuple(range(NCLASS))):
+                  classes=tuple(range(NCLASS)), groups=GS):
     """Wait for the DMAs started by the matching _start_windows call (the
     copy descriptors are reconstructed from the same scalar-prefetch
     reads)."""
     off = 0
     for i, c in enumerate(classes):
         gstart = ws_ref[st * NCLASS + c] // 128
-        gc = GS[c]
+        gc = groups[c]
         pltpu.make_async_copy(src_hbm.at[pl.ds(gstart, gc)],
                               win.at[off:off + gc], sems.at[i]).wait()
         off += gc
 
 
 def _load_windows(ws_ref, t, src_hbm, win, sems,
-                  classes=tuple(range(NCLASS))):
+                  classes=tuple(range(NCLASS)), groups=GS):
     """Start + wait the window DMAs for tile t: class c's window is GS[c]
     128-row groups of the packed (cap//128, Cg/2, 128) source — a dim-0
     dynamic slice (no alignment constraint; starts are 128-aligned rows).
@@ -253,7 +270,7 @@ def _load_windows(ws_ref, t, src_hbm, win, sems,
     off = 0
     for i, c in enumerate(classes):
         gstart = ws_ref[t * NCLASS + c] // 128
-        gc = GS[c]
+        gc = groups[c]
         cp = pltpu.make_async_copy(
             src_hbm.at[pl.ds(gstart, gc)], win.at[off:off + gc], sems.at[i])
         cp.start()
@@ -271,7 +288,7 @@ def _dot(a, b):
 
 
 def _windows_pipeline(ws_ref, t, src_hbm, win, sems, classes, mt: int,
-                      db: bool, gather_j):
+                      db: bool, gather_j, groups=GS):
     """Per-sub-tile window DMA + crossbar gathers.
 
     db=False: the committed serial pattern (load j, gather j).
@@ -285,27 +302,28 @@ def _windows_pipeline(ws_ref, t, src_hbm, win, sems, classes, mt: int,
     if not db:
         for j in range(mt):
             _load_windows(ws_ref, t * mt + j, src_hbm, win, sems,
-                          classes=classes)
+                          classes=classes, groups=groups)
             gather_j(j, win)
         return
 
     @pl.when(t == 0)
     def _():
-        _start_windows(ws_ref, 0, src_hbm, win.at[0], sems.at[0], classes)
+        _start_windows(ws_ref, 0, src_hbm, win.at[0], sems.at[0], classes,
+                       groups)
 
     for j in range(mt):
         st = t * mt + j
         buf = j % 2
         if j + 1 < mt:
             _start_windows(ws_ref, st + 1, src_hbm, win.at[(j + 1) % 2],
-                           sems.at[(j + 1) % 2], classes)
+                           sems.at[(j + 1) % 2], classes, groups)
         else:
             @pl.when(t + 1 < pl.num_programs(0))
             def _():
                 _start_windows(ws_ref, (t + 1) * mt, src_hbm, win.at[0],
-                               sems.at[0], classes)
+                               sems.at[0], classes, groups)
         _wait_windows(ws_ref, st, src_hbm, win.at[buf], sems.at[buf],
-                      classes)
+                      classes, groups)
         gather_j(j, win.at[buf])
 
 
@@ -351,19 +369,24 @@ def _gather_stack(lidx_blk, win_ref, k_class, K, C, stack_ref, col: int,
 
 
 def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
-                    classes: Optional[Tuple[int, ...]] = None):
+                    classes: Optional[Tuple[int, ...]] = None,
+                    wins: Tuple[int, ...] = WINS):
     """``classes``: restrict the call to offsets of these dx classes (the
     caller slices lidx/wT to the matching offset subset and K is the subset
     size; partial outputs are summed) — the VMEM escape hatch for channel
     widths whose full-stencil stack/weights exceed the scoped budget (the
-    384-wide D-variant archs)."""
+    384-wide D-variant archs).
+
+    ``wins``: per-class window rows matching the plan's builder choice
+    (wins_for_cap); both sides derive it from the same static level cap."""
     k_class = tuple(int(v) for v in k_class)
     if classes is None:
         classes = tuple(range(NCLASS))
     nwin = len(classes)
     slot = {c: i for i, c in enumerate(classes)}
     local_class = tuple(slot[c] for c in k_class)
-    slot_groups = tuple(GS[c] for c in classes)
+    groups = tuple(w // 128 for w in wins)
+    slot_groups = tuple(groups[c] for c in classes)
     mt = _pick_mtile(K, C, Coutp, backward=False, classes=classes)
     assert mt > 0, (K, C, Coutp)
     db = mt >= 2 and _db_fits(K, C, Coutp, backward=False, mt=mt)
@@ -380,7 +403,7 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
                           col=j, slot_groups=slot_groups)
 
         _windows_pipeline(ws_ref, t, xt_hbm, win, sems, classes, mt, db,
-                          gather_j)
+                          gather_j, groups=groups)
         # canonical (M,K)@(K,N) orientation — contracting the LHS sublane dim
         # makes Mosaic relayout the whole stack per tile (~10x slower GEMM);
         # one (Coutp, MTILE*TILE) output transpose is cheap
@@ -422,7 +445,8 @@ def make_fwd_kernel(K: int, C: int, Coutp: int, k_class: Tuple[int, ...],
 
 
 def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
-                    classes: Optional[Tuple[int, ...]] = None):
+                    classes: Optional[Tuple[int, ...]] = None,
+                    wins: Tuple[int, ...] = WINS):
     """Fused backward: gathers G_k = g[fwd[k]] once per offset from the
     packed transposed cotangent and emits dx tiles (TILE, Cp) plus the
     accumulated dW_flat (K*Cout, Cp).
@@ -439,7 +463,8 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
     nwin = len(classes)
     slot = {c: i for i, c in enumerate(classes)}  # winT slot of each offset
     local_class = tuple(slot[c] for c in k_class)
-    slot_groups = tuple(GS[c] for c in classes)
+    groups = tuple(w // 128 for w in wins)
+    slot_groups = tuple(groups[c] for c in classes)
     mt = _pick_mtile(K, Cout, Cp, backward=True, classes=classes)
     assert mt > 0, (K, Cp, Cout)
     db = mt >= 2 and _db_fits(K, Cout, Cp, backward=True, mt=mt)
@@ -457,7 +482,7 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
                           col=j, slot_groups=slot_groups)
 
         _windows_pipeline(ws_ref, t, gt_hbm, win, sems, classes, mt, db,
-                          gather_j)
+                          gather_j, groups=groups)
         # canonical orientations (see fwd kernel note)
         dxT = _dot(wflipT_ref[...], stack[...])
         dx_ref[...] = dxT.T.astype(jnp.bfloat16)
@@ -514,13 +539,13 @@ def make_bwd_kernel(K: int, Cp: int, Cout: int, k_class: Tuple[int, ...],
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cached(K, C, Coutp, k_class, classes=None):
-    return make_fwd_kernel(K, C, Coutp, k_class, classes)
+def _fwd_cached(K, C, Coutp, k_class, classes=None, wins=WINS):
+    return make_fwd_kernel(K, C, Coutp, k_class, classes, wins)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cached(K, Cp, Cout, k_class, classes=None):
-    return make_bwd_kernel(K, Cp, Cout, k_class, classes)
+def _bwd_cached(K, Cp, Cout, k_class, classes=None, wins=WINS):
+    return make_bwd_kernel(K, Cp, Cout, k_class, classes, wins)
 
 
 def _pack_t(a):
@@ -605,10 +630,11 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, lidx, spill_ent,
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, Coutp - Cout)))
     wp = wp[:, _pair_perm(C), :]  # [evens | odds] stack row order
     k_class = _static_k_class(K)
+    wins = wins_for_cap(x.shape[0])  # same static cap the plan was built at
     if _pick_mtile(K, C, Coutp, backward=False) > 0:
         wT = jnp.transpose(wp, (2, 0, 1)).reshape(
             Coutp, K * C).astype(jnp.bfloat16)
-        call = _fwd_cached(K, C, Coutp, k_class)
+        call = _fwd_cached(K, C, Coutp, k_class, wins=wins)
         out = call(xt, wT, win_start, lidx)
     else:
         # beyond-budget widths: one call per dx class, partial sums added
@@ -620,7 +646,8 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, lidx, spill_ent,
             wT_c = jnp.transpose(wp[sub], (2, 0, 1)).reshape(
                 Coutp, len(ks) * C).astype(jnp.bfloat16)
             call = _fwd_cached(len(ks), C, Coutp,
-                               tuple(k_class[k] for k in ks), (cls,))
+                               tuple(k_class[k] for k in ks), (cls,),
+                               wins=wins)
             o = call(xt, wT_c, win_start, lidx[:, sub, :])
             out = o if out is None else out + o
     out = out[:, :Cout]
@@ -652,9 +679,10 @@ def _wconv_bwd(res, g):
     xb = x.astype(jnp.bfloat16)
     xpad = jnp.pad(xb, ((0, 0), (0, Cp - C)))
     k_class = _static_k_class(K)
+    wins = wins_for_cap(x.shape[0])  # same static cap the plan was built at
     if _pick_mtile(K, Cout, Cp, backward=True) > 0:
         wflipT = jnp.transpose(w_flip_p, (1, 0, 2)).reshape(Cp, K * Cout)
-        call = _bwd_cached(K, Cp, Cout, k_class)
+        call = _bwd_cached(K, Cp, Cout, k_class, wins=wins)
         dx_p, dw_acc = call(xpad, gt, wflipT.astype(jnp.bfloat16), win_start,
                             lidx)
         dw_acc = dw_acc.reshape(K, Cout, Cp)
@@ -670,7 +698,8 @@ def _wconv_bwd(res, g):
             wflipT_c = jnp.transpose(w_flip_p[sub], (1, 0, 2)).reshape(
                 Cp, len(ks) * Cout)
             call = _bwd_cached(len(ks), Cp, Cout,
-                               tuple(k_class[k] for k in ks), (cls,))
+                               tuple(k_class[k] for k in ks), (cls,),
+                               wins=wins)
             dxc, dwc = call(xpad, gt, wflipT_c.astype(jnp.bfloat16),
                             win_start, lidx[:, sub, :])
             dx_p = dxc if dx_p is None else dx_p + dxc

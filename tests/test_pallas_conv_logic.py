@@ -106,6 +106,49 @@ def test_windowed_logic_fwd_and_grads(real_plan, C, Cout):
     assert np.abs(gw1 - gw0).max() / denom < 5e-3
 
 
+def test_windowed_logic_narrow_wins(real_plan, monkeypatch):
+    """Cap-keyed narrow windows (the L0 (384,384,384) configuration):
+    force wins_for_cap to the narrow choice at the fixture's small cap and
+    pin plan+kernel agreement with the XLA path, including the (larger)
+    spill set the narrow side windows produce."""
+    plan, _, cap, num = real_plan
+    monkeypatch.setattr(pallas_conv, "NARROW_MIN_CAP", 0)
+    assert pallas_conv.wins_for_cap(cap) == pallas_conv.WINS_NARROW
+    wp = build_window_plan(np.asarray(plan.fwd), num, cap)
+    assert wp is not None
+    C, Cout = 96, 96
+    rng = np.random.default_rng(3)
+    x = np.zeros((cap, C), np.float32)
+    x[:num] = rng.standard_normal((num, C))
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.standard_normal((27, C, Cout)) * 0.1
+                     ).astype(np.float32))
+    fp = jnp.asarray(plan.flip_perm)
+    fwd = jnp.asarray(plan.fwd)
+    args = (jnp.asarray(wp.win_start), jnp.asarray(wp.lidx),
+            jnp.asarray(wp.spill_ent), jnp.asarray(wp.spill_fwd))
+    out = np.asarray(windowed_sparse_conv(xb, w, fp, *args), np.float32)
+    ref = np.asarray(sparse_conv(xb, w, fwd, fp), np.float32)
+    np.testing.assert_allclose(out[:num], ref[:num], rtol=5e-2, atol=5e-2)
+    assert not out[num:].any()
+
+    tgt = jnp.asarray(rng.standard_normal((cap, Cout)).astype(np.float32)
+                      * (np.arange(cap) < num)[:, None])
+    gx1, gw1 = jax.grad(
+        lambda x_, w_: jnp.sum(
+            (windowed_sparse_conv(x_, w_, fp, *args).astype(jnp.float32)
+             - tgt) ** 2), (0, 1))(xb, w)
+    gx0, gw0 = jax.grad(
+        lambda x_, w_: jnp.sum(
+            (sparse_conv(x_, w_, fwd, fp).astype(jnp.float32) - tgt) ** 2),
+        (0, 1))(xb, w)
+    assert (np.abs(np.asarray(gx1) - np.asarray(gx0)).max()
+            / np.abs(np.asarray(gx0)).max() < 2e-2)
+    assert (np.abs(np.asarray(gw1) - np.asarray(gw0)).max()
+            / np.abs(np.asarray(gw0)).max() < 5e-3)
+    assert not np.asarray(gx1)[num:].any()
+
+
 def test_windowed_logic_class_split(real_plan):
     """384-wide channels exceed the single-call VMEM budget: the fwd and
     bwd both split into one kernel call per dx class."""
