@@ -262,7 +262,7 @@ def main():
     if _remaining() > 10 * step_s + 30:
         step_s = (step_s * 2 + timed(8) * 8) / 10
         n_timed = 10
-    geo_steady = float("nan")
+    geo_steady = None
     if _remaining() > 4 * step_s + 30:
         t = time.time()
         for _ in range(3):
@@ -270,12 +270,19 @@ def main():
         _ = float(np.asarray(
             jax.tree_util.tree_leaves(geo2)[0].reshape(-1)[0]))
         geo_steady = (time.time() - t - rtt) / 3
+    if geo_steady is None:  # compile ate the budget; cache is warm now
+        geo_txt = ("skipped, budget spent (re-run bench.py with the warm "
+                   "cache for the steady number)")
+        combo_txt = "skipped"
+    else:
+        geo_txt = f"{geo_steady*1000:.1f}ms"
+        combo_txt = f"{n_vox/(step_s+geo_steady):.0f} voxels/s"
     print(f"# batch: {n_vox} voxels in 8 scenes; step {step_s*1000:.1f}ms "
           f"({n_timed} timed iters); refined {n_vox/step_s:.0f} voxels/s; "
           f"host batch-assembly {host_s:.1f}s; train-step compile+warmup "
-          f"{compile_s:.1f}s; on-device geometry build {geo_steady*1000:.1f}ms "
+          f"{compile_s:.1f}s; on-device geometry build {geo_txt} "
           f"(first incl. compile {geo_s:.1f}s); trainer step+geometry "
-          f"{n_vox/(step_s+geo_steady):.0f} voxels/s; loss {float(loss):.4f}",
+          f"{combo_txt}; loss {float(loss):.4f}",
           file=sys.stderr)
 
 
