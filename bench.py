@@ -283,7 +283,30 @@ def main():
           f"{compile_s:.1f}s; on-device geometry build {geo_txt} "
           f"(first incl. compile {geo_s:.1f}s); trainer step+geometry "
           f"{combo_txt}; loss {float(loss):.4f}",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
+
+    # The REAL trainer fuses the geometry build into the jitted step
+    # (runtime/distill.py make_train_step(geo_caps=...)); the sum above is a
+    # pessimistic two-dispatch estimate. Budget permitting, measure the
+    # fused program itself.
+    if use_windows and _remaining() > 600:
+        rstep = make_train_step(cfg, opt, geo_caps=caps.fixed, n_scenes=8)
+        p2, s2 = init_unet(jax.random.PRNGKey(0), 3, 768, arch="MinkUNet18A")
+        o2 = opt.init(p2)
+        t0 = time.time()
+        p2, s2, o2, l2, ov2 = rstep(p2, s2, o2, raw)
+        assert not bool(ov2)
+        fused_compile = time.time() - t0
+        t0 = time.time()
+        for _ in range(3):
+            p2, s2, o2, l2, ov2 = rstep(p2, s2, o2, raw)
+        _ = float(l2)
+        fused_s = (time.time() - t0 - rtt) / 3
+        print(f"# fused trainer step (in-jit geometry, what "
+              f"runtime/distill.py runs): {fused_s*1000:.1f}ms = "
+              f"{n_vox/fused_s:.0f} voxels/s "
+              f"(compile+first {fused_compile:.1f}s)",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
