@@ -72,13 +72,21 @@ def _load_embedding_file(path: str) -> np.ndarray:
                       ).detach().float().numpy()
 
 
+_HF_UNAVAILABLE: set = set()  # model names that failed to load this process
+
+
 def _try_hf_clip(model_name: str, labels: Sequence[str]) -> Optional[np.ndarray]:
+    if model_name in _HF_UNAVAILABLE:
+        return None
     try:
         from transformers import CLIPModel, CLIPTokenizer  # noqa: deferred
         hf = _HF_NAMES[model_name]
         tok = CLIPTokenizer.from_pretrained(hf, local_files_only=True)
         model = CLIPModel.from_pretrained(hf, local_files_only=True)
-    except Exception as e:  # no local weights / no transformers
+    except Exception as e:  # no local weights / no transformers: remember —
+        # interactive consumers (demo/viewer.py) call per query and the
+        # import + disk scan costs ~30s on this box the first time
+        _HF_UNAVAILABLE.add(model_name)
         log.info("CLIP text encoder unavailable (%s)", e)
         return None
     import torch
