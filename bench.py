@@ -290,9 +290,10 @@ def main():
     # pessimistic two-dispatch estimate. Budget permitting, measure the
     # fused program itself.
     if use_windows and _remaining() > 600:
-        rstep = make_train_step(cfg, opt, geo_caps=caps.fixed, n_scenes=8)
+        opt2, _ = make_optimizer(cfg, max_iter=10000)
+        rstep = make_train_step(cfg, opt2, geo_caps=caps.fixed, n_scenes=8)
         p2, s2 = init_unet(jax.random.PRNGKey(0), 3, 768, arch="MinkUNet18A")
-        o2 = opt.init(p2)
+        o2 = opt2.init(p2)
         t0 = time.time()
         p2, s2, o2, l2, ov2 = rstep(p2, s2, o2, raw)
         assert not bool(ov2)
