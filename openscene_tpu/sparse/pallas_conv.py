@@ -555,8 +555,14 @@ def _pack_t(a):
     source.  One relayout per conv input here replaces ~12x the transpose
     volume inside the kernel (3 WIN-row windows per 128 output rows)."""
     cap, C = a.shape
-    xp = jax.lax.bitcast_convert_type(
-        a.reshape(cap, C // 2, 2), jnp.float32)          # (cap, C/2)
+    # Pairing via u16 strided slices + an explicit u32 combine: XLA lowers
+    # the former (cap, C/2, 2) bitcast through a full-width u32 widening +
+    # column-major copy; this formulation measures 35-50% faster at the
+    # bench shapes (scripts/dev_pack_bench.py, bit-equal on chip).
+    x16 = jax.lax.bitcast_convert_type(a, jnp.uint16)
+    ev = x16[:, 0::2].astype(jnp.uint32)
+    od = x16[:, 1::2].astype(jnp.uint32)
+    xp = jax.lax.bitcast_convert_type(ev | (od << 16), jnp.float32)
     return xp.reshape(cap // 128, 128, C // 2).transpose(0, 2, 1)
 
 
