@@ -80,7 +80,8 @@ def main():
     def build_geo(coords, num):
         geo, ov = build_geometry_parts(
             coords, num, caps.fixed,
-            windows=jax.default_backend() == "tpu", stem_occupancy=True)
+            windows=jax.default_backend() == "tpu", stem_occupancy=True,
+            n_scenes=8)  # match bench.py exactly -> persistent-cache hit
         return geo, ov
 
     t0 = time.time()
