@@ -571,10 +571,31 @@ def _pair_perm(C: int) -> np.ndarray:
     return np.concatenate([np.arange(0, C, 2), np.arange(1, C, 2)])
 
 
-def _spill_rows(spill_ent):
-    tiles = jnp.maximum(spill_ent, 0) // NCLASS
-    rows = tiles[:, None] * TILE + jnp.arange(TILE)[None, :]
-    return rows.reshape(-1)  # (SE*TILE,)
+def _spill_tiles(spill_ent):
+    return jnp.maximum(spill_ent, 0) // NCLASS  # (SE,) tile per entry
+
+
+def _tile_scatter_add(out, tiles, upd):
+    """out[(t*TILE):(t+1)*TILE] += upd[e] for each entry e with tile t.
+
+    Every spill entry corrects ONE whole 128-row tile, and TPU scatter-add
+    is INDEX-bound like gather, so one index per tile beats one per row
+    ~2.7-100x (scripts/dev_spill_scatter_bench.py; the isolated 2.7x is
+    copy-confounded — in situ the scatter aliases in place and the 128x
+    index reduction dominates).  Pad entries (tile 0) must carry zeroed
+    updates — callers multiply by the valid mask first.  Duplicate tiles
+    (several classes of one tile spilling) accumulate correctly.
+    """
+    C = out.shape[1]
+    o3 = out.reshape(-1, TILE, C)
+    u3 = upd.astype(out.dtype).reshape(-1, TILE, C)
+    return o3.at[tiles].add(u3).reshape(-1, C)
+
+
+def _tile_take(src, tiles):
+    """(SE*TILE, C) rows of src at whole-tile granularity."""
+    C = src.shape[1]
+    return jnp.take(src.reshape(-1, TILE, C), tiles, axis=0).reshape(-1, C)
 
 
 def _spill_im2col(src, spill_fwd):
@@ -657,13 +678,12 @@ def windowed_sparse_conv(x, w, flip_perm, win_start, lidx, spill_ent,
             o = call(xt, wT_c, win_start, lidx[:, sub, :])
             out = o if out is None else out + o
     out = out[:, :Cout]
-    rows = _spill_rows(spill_ent)
     valid = jnp.repeat((spill_ent >= 0).astype(jnp.float32), TILE)
     KC = K // NCLASS
     w_blocks = w.reshape(NCLASS, KC * C, Cout)
     sp = _spill_gather_matmul(x.astype(jnp.bfloat16), w_blocks, spill_ent,
                               spill_fwd, valid)
-    return out.at[rows].add(sp.astype(out.dtype))
+    return _tile_scatter_add(out, _spill_tiles(spill_ent), sp)
 
 
 def _wconv_fwd(x, w, flip_perm, win_start, lidx, spill_ent, spill_fwd):
@@ -719,7 +739,7 @@ def _wconv_bwd(res, g):
     # --- spill corrections (additive; kernel contributed zero there) ---
     # dx and dW share ONE gather of the cotangent at the entry pair rows;
     # each (tile, class) entry corrects only its own class's 9 offsets
-    rows = _spill_rows(spill_ent)
+    tiles = _spill_tiles(spill_ent)
     valid = jnp.repeat((spill_ent >= 0).astype(jnp.float32), TILE)
     KC = K // NCLASS
     Gf = _spill_im2col(gb, spill_fwd)                  # (SE*T, KC*Cout)
@@ -729,9 +749,9 @@ def _wconv_bwd(res, g):
     dx_sps = jnp.einsum("nk,ckd->cnd", Gf, wflipT_blocks.astype(gb.dtype),
                         preferred_element_type=jnp.float32)
     dx_sp = jnp.sum(dx_sps * sel, axis=0) * valid[:, None]
-    dx = dx.at[rows].add(dx_sp.astype(dx.dtype))
+    dx = _tile_scatter_add(dx, tiles, dx_sp)
 
-    x_sp = jnp.take(xb, rows, axis=0) * valid[:, None].astype(jnp.bfloat16)
+    x_sp = _tile_take(xb, tiles) * valid[:, None].astype(jnp.bfloat16)
     xm = x_sp[None] * sel.astype(jnp.bfloat16)         # (NCLASS, SE*T, C)
     Gk = Gf.reshape(-1, KC, Cout)
     dw_sp_flip = jnp.einsum("cnx,njd->cjxd", xm, Gk,

@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_conv
-from .pallas_conv import TILE, _bucket64, _dot, _pack_t, _pad128, _pair_perm
+from .pallas_conv import (TILE, _bucket64, _dot, _pack_t, _pad128,
+                          _pair_perm, _tile_scatter_add, _tile_take)
 
 KD = 8          # offsets of the k=2 s=2 stencil
 # Below ~200k child rows the XLA gather path beats the windowed edge
@@ -626,10 +627,8 @@ def _up_bwd_cached(Cp, Cout):
 # XLA spill corrections + drop-in conv wrappers
 # ---------------------------------------------------------------------------
 
-def _d_spill_rows(dspill_ent):
-    tiles = jnp.maximum(dspill_ent, 0) // KD
-    rows = tiles[:, None] * TILE + jnp.arange(TILE)[None, :]
-    return rows.reshape(-1)  # (SD*TILE,) parent rows
+def _d_spill_tiles(dspill_ent):
+    return jnp.maximum(dspill_ent, 0) // KD  # (SD,) parent tile per entry
 
 
 def _d_spill_apply(src, w_stack, dspill_ent, dspill_fwd, valid):
@@ -645,10 +644,8 @@ def _d_spill_apply(src, w_stack, dspill_ent, dspill_fwd, valid):
     return jnp.sum(outs * sel, axis=0) * valid[:, None]
 
 
-def _u_spill_rows(uspill_tile):
-    tiles = jnp.maximum(uspill_tile, 0)
-    rows = tiles[:, None] * TILE + jnp.arange(TILE)[None, :]
-    return rows.reshape(-1)  # (SU*TILE,) child rows
+def _u_spill_tiles(uspill_tile):
+    return jnp.maximum(uspill_tile, 0)  # (SU,) child tile per entry
 
 
 def _u_spill_apply(src, w_stack, uspill_parent, uspill_off, valid):
@@ -717,11 +714,10 @@ def windowed_down_conv(x, w, dwin_start, dlidx, dspill_ent, dspill_fwd,
                 xt, wT_h, dwin_start, dlidx[:, list(half), :])
             out = o if out is None else out + o
     out = out[:, :Cout]
-    rows = _d_spill_rows(dspill_ent)
     valid = jnp.repeat((dspill_ent >= 0).astype(jnp.float32), TILE)
     sp = _d_spill_apply(x.astype(jnp.bfloat16), w, dspill_ent, dspill_fwd,
                         valid)
-    return out.at[rows].add(sp.astype(out.dtype))
+    return _tile_scatter_add(out, _d_spill_tiles(dspill_ent), sp)
 
 
 def _down_conv_fwd(x, w, *plan):
@@ -744,13 +740,13 @@ def _down_conv_bwd(res, g):
     dw = _unperm_dw(acc, KD, C, Cout, Cp)
 
     # spilled child tiles: dx rows + their dW contributions
-    rows = _u_spill_rows(uspill_tile)
+    tiles = _u_spill_tiles(uspill_tile)
     valid = jnp.repeat((uspill_tile >= 0).astype(jnp.float32), TILE)
     w_t = jnp.transpose(w, (0, 2, 1))                       # (KD, Cout, C)
     dx_sp = _u_spill_apply(gb, w_t, uspill_parent, uspill_off, valid)
-    dx = dx.at[rows].add(dx_sp.astype(dx.dtype))
+    dx = _tile_scatter_add(dx, tiles, dx_sp)
     G = jnp.take(gb, uspill_parent.reshape(-1), axis=0)     # (SU*T, Cout)
-    xr = jnp.take(xb, rows, axis=0) * valid[:, None].astype(jnp.bfloat16)
+    xr = _tile_take(xb, tiles) * valid[:, None].astype(jnp.bfloat16)
     sel = (uspill_off.reshape(-1)[None, :]
            == jnp.arange(KD)[:, None])[:, :, None]
     xm = xr[None] * sel.astype(jnp.bfloat16)                # (KD, SU*T, C)
@@ -778,11 +774,10 @@ def windowed_up_conv(x, w, dwin_start, dlidx, dspill_ent, dspill_fwd,
     xt = _pack_t(x.astype(jnp.bfloat16))
     wT = _down_weight_T(w, C, Coutp)  # same [evens|odds] stack layout
     out = _up_cached(C, Coutp)(xt, wT, uwin_start, ulidx, uoff)[:, :Cout]
-    rows = _u_spill_rows(uspill_tile)
     valid = jnp.repeat((uspill_tile >= 0).astype(jnp.float32), TILE)
     sp = _u_spill_apply(x.astype(jnp.bfloat16), w, uspill_parent,
                         uspill_off, valid)
-    return out.at[rows].add(sp.astype(out.dtype))
+    return _tile_scatter_add(out, _u_spill_tiles(uspill_tile), sp)
 
 
 def _up_conv_fwd(x, w, *plan):
@@ -822,13 +817,13 @@ def _up_bwd_core(x, w, g, dwin_start, dlidx, dspill_ent, dspill_fwd):
     dx = dx_p[:, :C]
 
     # spilled (parent tile, offset) entries: dx rows + dW contributions
-    rows = _d_spill_rows(dspill_ent)
+    tiles = _d_spill_tiles(dspill_ent)
     valid = jnp.repeat((dspill_ent >= 0).astype(jnp.float32), TILE)
     w_t = jnp.transpose(w, (0, 2, 1))                        # (KD, Cout, C)
     dx_sp = _d_spill_apply(gb, w_t, dspill_ent, dspill_fwd, valid)
-    dx = dx.at[rows].add(dx_sp.astype(dx.dtype))
+    dx = _tile_scatter_add(dx, tiles, dx_sp)
     G = jnp.take(gb, dspill_fwd.reshape(-1), axis=0)         # (SD*T, Cout)
-    xr = jnp.take(xb, rows, axis=0) * valid[:, None].astype(jnp.bfloat16)
+    xr = _tile_take(xb, tiles) * valid[:, None].astype(jnp.bfloat16)
     k_of = jnp.maximum(dspill_ent, 0) % KD
     sel = jnp.repeat(k_of[None, :] == jnp.arange(KD)[:, None],
                      TILE, axis=1)[:, :, None]
